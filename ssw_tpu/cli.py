@@ -1,0 +1,234 @@
+"""`ssw_test`-compatible command line driver (ref: src/main.c:395-547).
+
+Same options and byte-identical stdout as the reference binary:
+  -m/-x/-o/-e penalties, -p protein, -a matrix file, -c cigar path,
+  -f score filter, -r reverse complement, -s SAM, -h SAM header.
+
+Implementation differences (documented):
+  * reads are aligned in device batches instead of one pair at a time, and
+    the target file is parsed once instead of re-read from disk per read
+    (ref: src/main.c:493); output is re-ordered to the reference's
+    read-major order before emission;
+  * the reference's 2025 argv refactor leaks option-value characters back
+    into flag scanning (e.g. `-a blosum62.txt` accidentally toggles -s/-r
+    from letters of the filename, ref: src/main.c:254-304); we implement the
+    *documented* semantics (usage text, ref: src/main.c:411-423) instead of
+    that bug.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ssw_tpu import pipeline
+from ssw_tpu.core.encoding import (AA_TABLE, BLOSUM50, NT_TABLE, dna_matrix,
+                                   encode_with_table, parse_matrix_file,
+                                   reverse_complement)
+from ssw_tpu.io import writers
+from ssw_tpu.io.fastx import read_fastx, read_fastx_all
+
+USAGE = """
+Usage: ssw_test [options] ... <target.fasta> <query.fasta>(or <query.fastq>)
+Options:
+\t-m N\tN is a positive integer for weight match in genome sequence alignment. [default: 2]
+\t-x N\tN is a positive integer. -N will be used as weight mismatch in genome sequence alignment. [default: 2]
+\t-o N\tN is a positive integer. -N will be used as the weight for the gap opening. [default: 3]
+\t-e N\tN is a positive integer. -N will be used as the weight for the gap extension. [default: 1]
+\t-p\tDo protein sequence alignment. Without this option, the ssw_test will do genome sequence alignment.
+\t-a FILE\tFILE is either the Blosum or Pam weight matrix. [default: Blosum50]
+\t-c\tReturn the alignment path.
+\t-f N\tN is a positive integer. Only output the alignments with the Smith-Waterman score >= N.
+\t-r\tThe best alignment will be picked between the original read alignment and the reverse complement read alignment.
+\t-s\tOutput in SAM format. [default: no header]
+\t-h\tIf -s is used, include header in SAM output.
+
+"""
+
+
+def parse_args(argv: list[str]):
+    opts = dict(match=2, mismatch=2, gap_open=3, gap_extension=1, filter=0,
+                protein=False, path=False, reverse=False, sam=False,
+                header=False, mat_file=None)
+    files: list[str] = []
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg.startswith("-") and len(arg) > 1:
+            for ch in arg[1:]:
+                if ch in "mxoeaf":
+                    if i + 1 < len(argv):
+                        val = argv[i + 1]
+                        i += 1
+                        if ch == "m":
+                            opts["match"] = int(val)
+                        elif ch == "x":
+                            opts["mismatch"] = int(val)
+                        elif ch == "o":
+                            opts["gap_open"] = int(val)
+                        elif ch == "e":
+                            opts["gap_extension"] = int(val)
+                        elif ch == "f":
+                            opts["filter"] = int(val)
+                        else:
+                            opts["mat_file"] = val
+                elif ch == "p":
+                    opts["protein"] = True
+                elif ch == "c":
+                    opts["path"] = True
+                elif ch == "r":
+                    opts["reverse"] = True
+                elif ch == "s":
+                    opts["sam"] = True
+                elif ch == "h":
+                    opts["header"] = True
+        else:
+            files.append(arg)
+        i += 1
+    return opts, files
+
+
+def main(argv: list[str] | None = None, out=None, err=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    out = out or sys.stdout
+    err = err or sys.stderr
+    opts, files = parse_args(argv)
+    if len(files) < 2:
+        err.write(USAGE)
+        return 1
+
+    table = NT_TABLE
+    n = 5
+    mat = dna_matrix(opts["match"], opts["mismatch"])
+    if opts["protein"] and opts["mat_file"] is None:
+        n = 24
+        table = AA_TABLE
+        mat = BLOSUM50
+    elif opts["mat_file"] is not None:
+        try:
+            mat, table = parse_matrix_file(opts["mat_file"])
+        except OSError:
+            err.write("Failed to open the weight matrix file.\n")
+            return 1
+        except ValueError:
+            err.write("Problem of reading the weight matrix file.\n")
+            return 1
+        n = mat.shape[0]
+
+    target_path, query_path = files[0], files[1]
+    sam = opts["sam"]
+    if sam and opts["header"] and opts["path"]:
+        out.write("@HD\tVN:1.4\tSO:queryname\n")
+        for rec in read_fastx(target_path):
+            out.write(f"@SQ\tSN:{rec.name}\tLN:{len(rec.seq)}\n")
+    elif sam and not opts["path"]:
+        err.write("SAM format output is only available together with option -c.\n")
+        sam = False
+
+    start = time.process_time()
+    targets = read_fastx_all(target_path)
+    enc_targets = [encode_with_table(t.seq, table) for t in targets]
+
+    rc_allowed = opts["reverse"] and n == 5
+    flag = 2 if opts["path"] else 0
+    filt = opts["filter"]
+
+    batch_size = 512
+    batch: list = []
+
+    def flush_batch():
+        if not batch:
+            return 0
+        reads = [b["num"] for b in batch]
+        mask_lens = [len(r) // 2 for r in reads]
+        for ml in mask_lens:
+            if ml < 15:
+                for _t in targets:
+                    err.write("When maskLen < 15, the function ssw_align "
+                              "doesn't return 2nd best alignment information.\n")
+        per_target = []
+        for enc_t in enc_targets:
+            req = pipeline.BatchRequest(
+                reads=reads, ref=enc_t, mat=mat, gapO=opts["gap_open"],
+                gapE=opts["gap_extension"], flag=flag, filters=filt,
+                filterd=0, mask_len=mask_lens, score_size=2)
+            res = pipeline.align_batch(req)
+            res_rc = None
+            if rc_allowed:
+                req_rc = pipeline.BatchRequest(
+                    reads=[b["num_rc"] for b in batch], ref=enc_t, mat=mat,
+                    gapO=opts["gap_open"], gapE=opts["gap_extension"],
+                    flag=flag, filters=filt, filterd=0, mask_len=mask_lens,
+                    score_size=2)
+                res_rc = pipeline.align_batch(req_rc)
+            per_target.append((res, res_rc))
+        # emit read-major, target-minor (the reference's loop order)
+        for bi, b in enumerate(batch):
+            for ti, t in enumerate(targets):
+                res, res_rc = per_target[ti]
+                result = res[bi]
+                result_rc = res_rc[bi] if res_rc else None
+                _emit_pair(out, err, b, t, enc_targets[ti], result, result_rc,
+                           table, sam, filt, opts)
+        batch.clear()
+        return 0
+
+    def _emit_pair(out, err, b, t, enc_t, result, result_rc, table, sam,
+                   filt, opts):
+        rec = b["rec"]
+        if result is None:
+            err.write("Warning: Alignment between the following sequences "
+                      f"is failed.\nref_name: {t.name}\nread_name: "
+                      f"{rec.name}\n\n")
+            return
+        if (result_rc is not None and result_rc.score1 > result.score1
+                and result_rc.score1 >= filt):
+            if result_rc.flag == 2:
+                err.write("Warning: The reverse compliment alignment of the "
+                          f"following sequences may miss a small part.\n"
+                          f"ref_seq: {t.name}\nread_seq: {rec.name}\n\n")
+            if sam:
+                writers.sam_record(out, result_rc, t.name, rec.name,
+                                   b["rc"], rec.qual, enc_t, b["num_rc"], 1)
+            else:
+                writers.blast_like(out, result_rc, t.name, rec.name, t.seq,
+                                   b["rc"], table, 1)
+        elif result.score1 > 0 and result.score1 >= filt:
+            if result.flag == 2:
+                err.write("Warning: The alignment of the following sequences "
+                          f"may miss a small part.\nref_seq: {t.name}\n"
+                          f"read_seq: {rec.name}\n\n")
+            if sam:
+                writers.sam_record(out, result, t.name, rec.name, rec.seq,
+                                   rec.qual, enc_t, b["num"], 0)
+            else:
+                writers.blast_like(out, result, t.name, rec.name, t.seq,
+                                   rec.seq, table, 0)
+        elif result.score1 <= 0:
+            err.write("There is no identical residue between the following "
+                      f"reference and read seqeunces.\nref_name: {t.name}\n"
+                      f"read_name: {rec.name}\n\n")
+
+    for rec in read_fastx(query_path):
+        if opts["reverse"] and n == 24:
+            err.write("Reverse complement alignment is not available for "
+                      "protein sequences. \n")
+            return 1
+        entry = {"rec": rec, "num": encode_with_table(rec.seq, table)}
+        if rc_allowed:
+            entry["rc"] = reverse_complement(rec.seq)
+            entry["num_rc"] = encode_with_table(entry["rc"], table)
+        batch.append(entry)
+        if len(batch) >= batch_size:
+            flush_batch()
+    flush_batch()
+
+    cpu_time = time.process_time() - start
+    err.write(f"CPU time: {cpu_time:f} seconds\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

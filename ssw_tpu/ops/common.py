@@ -1,0 +1,91 @@
+"""Shared helpers for the alignment kernels: profile building, padding
+geometry, and mode (byte/word tier) metadata.
+
+The TPU formulation replaces the reference's striped SSE registers
+(ref: src/ssw.c:163-188) with a dense per-read profile tensor
+profile[b, c, j] = mat[c, read[b, j]] plus an extra *virtual* alphabet
+letter whose substitution row/column is all zero; read padding and
+out-of-range reference positions are encoded as that letter, which exactly
+reproduces the reference's bias-padding semantics (padded lanes score 0
+against everything and propagate values diagonally at no cost).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def extend_matrix(mat: np.ndarray) -> np.ndarray:
+    """(n, n) -> (n+1, n+1) with a zero row/col for the virtual pad letter."""
+    n = mat.shape[0]
+    out = np.zeros((n + 1, n + 1), dtype=np.int32)
+    out[:n, :n] = mat
+    return out
+
+
+def seg_len(read_len, word: bool):
+    lanes = 8 if word else 16
+    return (read_len + lanes - 1) // lanes
+
+
+def pad_total(read_len, word: bool):
+    """Number of DP rows the reference kernel actually computes: the read
+    length rounded up to a whole number of SIMD lanes (ref: src/ssw.c:169)."""
+    return seg_len(read_len, word) * (8 if word else 16)
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def bucket_size(x: int, base: int = 64) -> int:
+    """Round up to a coarse static-shape bucket (power-of-two-ish ladder) so
+    jit compilation caches are reused across nearby problem sizes."""
+    x = max(x, 1)
+    b = base
+    while b < x:
+        b *= 2
+    # refine with quarter steps to cap padding waste at ~25%
+    for frac in (b // 2, b * 5 // 8, b * 3 // 4, b * 7 // 8):
+        if frac >= x and frac % base == 0:
+            return frac
+    return b
+
+
+@dataclass
+class BatchGeometry:
+    """Static + per-read geometry for one padded read batch at one tier."""
+    L: int                    # padded DP row count (static)
+    read_len: np.ndarray      # (B,) true read lengths
+    col_mask: np.ndarray      # (B, L) bool: rows included in column maxima
+    seg_id: np.ndarray        # (B, L) int32: lane-block id of each row
+    seg_start: np.ndarray     # (B, L) bool: first row of a lane block
+
+
+def batch_geometry(read_len: np.ndarray, L: int, word: bool) -> BatchGeometry:
+    read_len = np.asarray(read_len, dtype=np.int32)
+    j = np.arange(L, dtype=np.int32)[None, :]
+    sl = seg_len(read_len, word)[:, None].astype(np.int32)
+    pt = (sl * (8 if word else 16))
+    col_mask = j < pt
+    seg = np.minimum(j // np.maximum(sl, 1), (8 if word else 16) - 1)
+    seg_start = (j % np.maximum(sl, 1) == 0) & (seg == j // np.maximum(sl, 1))
+    return BatchGeometry(L, read_len, col_mask, seg.astype(np.int32), seg_start)
+
+
+def build_profile(reads: np.ndarray, read_len: np.ndarray,
+                  mat_ext: np.ndarray) -> np.ndarray:
+    """profile[b, c, j] = mat_ext[c, reads[b, j]] with pads as the virtual
+    letter.  reads: (B, L) int32 already padded with code n."""
+    return np.ascontiguousarray(
+        mat_ext[:, reads].transpose(1, 0, 2).astype(np.int32))
+
+
+def pad_reads(reads: list[np.ndarray], L: int, pad_code: int) -> np.ndarray:
+    B = len(reads)
+    out = np.full((B, L), pad_code, dtype=np.int32)
+    for b, r in enumerate(reads):
+        out[b, : len(r)] = r
+    return out

@@ -1,0 +1,147 @@
+"""Batched exact striped-SW forward pass as a jittable lax.scan.
+
+This is the portable compute path (runs on CPU and TPU) and the semantic
+baseline the Pallas kernel is verified against.  One scan step processes one
+reference column for the whole read batch; Farrar's lazy-F correction loop
+(ref: src/ssw.c:301-315) is replaced by an associative prefix-max
+(jax.lax.cummax) over the read dimension, and the reference's
+E-update-before-lazy-F quirk is reproduced with a segmented prefix-max that
+resets at SIMD lane-block boundaries (see core/oracle.py for the semantic
+derivation; exact for gapO > gapE).
+
+Shapes:
+  profile   (B, n+1, L) int32   per-read query profile incl. virtual pad row
+  ref       (R,) int32          shared target, or (B, R) per-read windows
+  outputs   scores/ends (B,), max_column (R, B) uint16
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.int32(-(2 ** 28))
+SEG_BUMP = jnp.int32(2 ** 21)
+
+
+def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,
+                   col_mask, col_idx):
+    """One ref column for the whole batch.  sub: (B, L) substitution scores."""
+    H, E, gmax, end_ref, h_best = state
+    h_diag = jnp.pad(H, ((0, 0), (1, 0)))[:, :-1] + sub
+    h_tilde = jnp.maximum(jnp.maximum(h_diag, E), 0)
+    c = h_tilde - gapO + decay
+    # full prefix-max -> F -> H
+    cm = jax.lax.cummax(c, axis=1)
+    F = jnp.pad(cm, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1] - decay + gapE
+    F = jnp.maximum(F, 0)
+    H = jnp.maximum(h_tilde, F)
+    # lane-block segmented prefix-max -> F_loc -> the H the E-update sees
+    cs = jax.lax.cummax(c + seg_bias, axis=1) - seg_bias
+    F_loc = jnp.pad(cs, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1] - decay + gapE
+    F_loc = jnp.where(seg_reset, 0, jnp.maximum(F_loc, 0))
+    h_fp = jnp.maximum(h_tilde, F_loc)
+    E = jnp.maximum(jnp.maximum(E - gapE, h_fp - gapO), 0)
+
+    colmax = jnp.max(jnp.where(col_mask, H, 0), axis=1)
+    upd = colmax > gmax
+    gmax = jnp.where(upd, colmax, gmax)
+    end_ref = jnp.where(upd, col_idx, end_ref)
+    h_best = jnp.where(upd[:, None], H, h_best)
+    return (H, E, gmax, end_ref, h_best), colmax
+
+
+def _init_state(B, L):
+    return (
+        jnp.zeros((B, L), jnp.int32),
+        jnp.zeros((B, L), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1, jnp.int32),
+        jnp.zeros((B, L), jnp.int32),
+    )
+
+
+def _finalize(state, read_len, L):
+    H, E, gmax, end_ref, h_best = state
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    hit = (h_best == gmax[:, None]) & (j < read_len[:, None]) & (gmax[:, None] > 0)
+    cand = jnp.where(hit, j, L)
+    end_read = jnp.min(cand, axis=1)
+    end_read = jnp.where(end_read == L, read_len - 1, end_read)
+    return gmax, end_ref, end_read
+
+
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE"))
+def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
+                       gapO: int, gapE: int):
+    """Forward pass of a read batch against one shared target.
+
+    Returns (score (B,), end_ref (B,), end_read (B,), max_column (R, B) u16).
+    """
+    B, _, L = profile.shape
+    decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
+    seg_bias = seg_id * SEG_BUMP
+    seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    seg_reset = seg_start | (seg_prev != seg_id)
+
+    def step(state, xs):
+        code, col_idx = xs
+        sub = jax.lax.dynamic_index_in_dim(profile, code, axis=1,
+                                           keepdims=False)
+        state, colmax = _column_update(sub, state, gapO, gapE, decay,
+                                       seg_bias, seg_reset, col_mask, col_idx)
+        return state, colmax.astype(jnp.uint16)
+
+    R = ref.shape[0]
+    idxs = jnp.arange(R, dtype=jnp.int32)
+    state, max_column = jax.lax.scan(step, _init_state(B, L), (ref, idxs))
+    score, end_ref, end_read = _finalize(state, read_len, L)
+    return score, end_ref, end_read, max_column
+
+
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE"))
+def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
+                        gapO: int, gapE: int):
+    """Forward pass where every read has its own reference window (B, W);
+    used by the begin-finding reverse pass.  No max_column output."""
+    B, _, L = profile.shape
+    decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
+    seg_bias = seg_id * SEG_BUMP
+    seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    seg_reset = seg_start | (seg_prev != seg_id)
+
+    def step(state, xs):
+        codes, col_idx = xs  # codes: (B,)
+        sub = jnp.take_along_axis(profile, codes[:, None, None], axis=1)[:, 0, :]
+        state, _ = _column_update(sub, state, gapO, gapE, decay, seg_bias,
+                                  seg_reset, col_mask, col_idx)
+        return state, None
+
+    W = refw.shape[1]
+    idxs = jnp.arange(W, dtype=jnp.int32)
+    state, _ = jax.lax.scan(step, _init_state(B, L), (refw.T, idxs))
+    return _finalize(state, read_len, L)
+
+
+def second_best_batch(max_column, end_ref, mask_len, ref_len, word_mask):
+    """Vectorized suboptimal-score scan (ref: src/ssw.c:368-381, 570-583).
+
+    max_column: (R, B) uint16 (R may include bucket padding past ref_len);
+    word_mask: (B,) bool selecting the word-tier window edge semantics.
+    Returns (score2 (B,), ref_end2 (B,)).
+    """
+    mc = max_column.astype(jnp.int32).T  # (B, R)
+    B, R = mc.shape
+    i = jnp.arange(R, dtype=jnp.int32)[None, :]
+    lo_edge = jnp.maximum(end_ref - mask_len, 0)[:, None]
+    hi_edge = jnp.minimum(end_ref + mask_len, ref_len)[:, None]
+    start_hi = jnp.where(word_mask[:, None], hi_edge, hi_edge + 1)
+    allowed = ((i < lo_edge) | (i >= start_hi)) & (i < ref_len)
+    vals = jnp.where(allowed, mc, 0)
+    score2 = jnp.max(vals, axis=1)
+    # first index attaining the max (ties never displace earlier winners)
+    ref_end2 = jnp.argmax(vals == score2[:, None], axis=1).astype(jnp.int32)
+    ref_end2 = jnp.where(score2 > 0, ref_end2, 0)
+    return score2, ref_end2

@@ -1,0 +1,286 @@
+"""Batch alignment pipeline: the ssw_align orchestration, batched.
+
+Mirrors the reference flow (ref: src/ssw.c:855-977) for a whole read batch
+against one target:
+
+  1. forward pass, byte-tier geometry (all reads at once, one device call)
+  2. word-tier rerun of the subset whose score overflows the byte range
+     (score + bias >= 255, ref: src/ssw.c:883-886)
+  3. suboptimal-score scan outside the maskLen window (tier-aware edges)
+  4. reverse pass on reversed read prefixes vs per-read reference windows to
+     locate begin positions (ref: src/ssw.c:918-930); the window length is a
+     provable bound on the alignment's reference span, so the batched
+     static-shape pass is exact
+  5. banded traceback + cigar verification on the host (ref: src/ssw.c:940-957)
+
+Backend selection: "scan" (portable lax.scan path) or "pallas" (TPU kernel);
+"auto" picks pallas on TPU.  For gapO <= gapE the batched path falls back to
+the bug-compatible striped oracle per pair (the reference's lazy-F early exit
+is lossy there; see core/oracle.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssw_tpu.core import oracle
+from ssw_tpu.core.cigar import cigar_alignment_score
+from ssw_tpu.core.encoding import matrix_bias
+from ssw_tpu.ops import common, scan_sw
+
+
+@dataclass
+class BatchRequest:
+    reads: list[np.ndarray]        # encoded reads (int codes < n)
+    ref: np.ndarray                # encoded target
+    mat: np.ndarray                # (n, n) substitution matrix
+    gapO: int
+    gapE: int
+    flag: int = 0x0F
+    filters: int = 0
+    filterd: int = 2 ** 31 - 1
+    mask_len: list[int] | int = 15
+    score_size: int = 2
+
+
+def _as_masklen_array(mask_len, B):
+    if isinstance(mask_len, (int, np.integer)):
+        return np.full(B, int(mask_len), dtype=np.int32)
+    return np.asarray(mask_len, dtype=np.int32)
+
+
+def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
+                gapO: int, gapE: int) -> int:
+    """Upper bound on the reference span of any positive-score alignment:
+    span <= read_span * (1 + max(mat)/min(gapO,gapE)); used to size the
+    reverse pass's static window."""
+    max_sub = max(int(np.max(mat)), 1)
+    g = max(min(gapO, gapE), 1)
+    w = max_read_len * (1 + (max_sub + g - 1) // g) + 1
+    return common.bucket_size(int(min(w, ref_len)), 64)
+
+
+def _forward(profile, ref_codes, geometry, gapO, gapE, backend):
+    if backend == "pallas":
+        from ssw_tpu.ops import pallas_sw
+        return pallas_sw.forward_shared_ref(
+            profile, ref_codes, jnp.asarray(geometry.read_len),
+            jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
+            jnp.asarray(geometry.seg_start), gapO, gapE)
+    return scan_sw.forward_shared_ref(
+        profile, ref_codes, jnp.asarray(geometry.read_len),
+        jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
+        jnp.asarray(geometry.seg_start), gapO, gapE)
+
+
+def pick_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no devices
+        platform = "cpu"
+    if platform != "cpu":
+        try:
+            from ssw_tpu.ops import pallas_sw  # noqa: F401
+            return "pallas"
+        except ImportError:
+            return "scan"
+    return "scan"
+
+
+def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignResult]:
+    """Align every read in the batch against req.ref.
+
+    Returns AlignResult per read with the same field semantics as the
+    reference's s_align (ref: src/ssw.h:55-66); entries are None where the
+    reference returns NULL (score_size=0 overflow).
+    """
+    backend = pick_backend(backend)
+    B = len(req.reads)
+    if B == 0:
+        return []
+    n = req.mat.shape[0]
+    bias = matrix_bias(req.mat)
+    ref_len = len(req.ref)
+    mask_len = _as_masklen_array(req.mask_len, B)
+
+    if req.gapO <= req.gapE:
+        # bug-compatible slow path (see module docstring)
+        return [
+            oracle.ssw_align(r, req.ref, req.mat, req.gapO, req.gapE,
+                             flag=req.flag, filters=req.filters,
+                             filterd=req.filterd, mask_len=int(mask_len[b]),
+                             score_size=req.score_size)
+            for b, r in enumerate(req.reads)
+        ]
+
+    read_len = np.array([len(r) for r in req.reads], dtype=np.int32)
+    max_rl = int(read_len.max())
+    L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
+    mat_ext = common.extend_matrix(req.mat)
+    reads_padded = common.pad_reads(req.reads, L, pad_code=n)
+    profile = common.build_profile(reads_padded, read_len, mat_ext)
+    # pad the target to a coarse bucket with the virtual letter: padded
+    # columns carry values diagonally at zero cost but can never strictly
+    # exceed the running max, and are masked out of the suboptimal scan
+    Rp = common.bucket_size(ref_len, 256)
+    ref_padded = np.full(Rp, n, dtype=np.int32)
+    ref_padded[:ref_len] = req.ref
+    ref_codes = jnp.asarray(ref_padded)
+
+    word_tier = req.score_size == 1
+    geo = common.batch_geometry(read_len, L, word=word_tier)
+    score, end_ref, end_read, max_col = _forward(
+        jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, backend)
+    score = np.array(score)
+    end_ref = np.array(end_ref)
+    end_read = np.array(end_read)
+
+    word = np.full(B, word_tier)
+    if req.score_size == 2:
+        need_word = score + bias >= 255
+        if need_word.any():
+            idx = np.nonzero(need_word)[0]
+            geo_w = common.batch_geometry(read_len[idx], L, word=True)
+            prof_w = profile[idx]
+            s_w, er_w, ed_w, mc_w = _forward(
+                jnp.asarray(prof_w), ref_codes, geo_w, req.gapO, req.gapE,
+                backend)
+            score[idx] = np.asarray(s_w)
+            end_ref[idx] = np.asarray(er_w)
+            end_read[idx] = np.asarray(ed_w)
+            max_col = np.array(max_col)
+            max_col[:, idx] = np.asarray(mc_w)
+            word[idx] = True
+
+    results: list[oracle.AlignResult | None] = []
+    null_mask = np.zeros(B, dtype=bool)
+    if req.score_size == 0:
+        null_mask = score + bias >= 255
+
+    # suboptimal scores (tier-aware window edges)
+    score2, ref_end2 = scan_sw.second_best_batch(
+        jnp.asarray(max_col), jnp.asarray(end_ref),
+        jnp.asarray(mask_len), ref_len, jnp.asarray(word))
+    score2 = np.asarray(score2)
+    ref_end2 = np.asarray(ref_end2)
+
+    # which reads need the reverse pass / cigar
+    aligned = score > 0
+    want_begin = np.zeros(B, dtype=bool)
+    want_cigar = np.zeros(B, dtype=bool)
+    f = req.flag
+    for b in range(B):
+        if not aligned[b] or null_mask[b]:
+            continue
+        if f == 0 or (f == 2 and score[b] < req.filters):
+            continue
+        want_begin[b] = True
+        if (f & 7) == 0 or ((f & 2) and score[b] < req.filters):
+            continue
+        want_cigar[b] = True  # distance filter needs begins; re-checked below
+
+    ref_begin = np.full(B, -1, dtype=np.int32)
+    read_begin = np.full(B, -1, dtype=np.int32)
+    for tier in (False, True):  # reverse tier must match the forward tier
+        sel = want_begin & (word == tier)
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        W = _window_len(int((end_read[idx] + 1).max()), ref_len, req.mat,
+                        req.gapO, req.gapE)
+        rb, qb = _reverse_pass(req, idx, end_ref, end_read, W, mat_ext,
+                               tier, backend)
+        ref_begin[idx] = rb
+        read_begin[idx] = qb
+
+    for b in range(B):
+        if null_mask[b]:
+            results.append(None)
+            continue
+        r = oracle.AlignResult()
+        if not aligned[b]:
+            results.append(r)
+            continue
+        r.score1 = int(score[b])
+        r.ref_end1 = int(end_ref[b])
+        r.read_end1 = int(end_read[b])
+        if mask_len[b] >= 15:
+            r.score2 = int(score2[b])
+            r.ref_end2 = int(ref_end2[b])
+        else:
+            r.score2, r.ref_end2 = 0, -1
+        if want_begin[b]:
+            r.ref_begin1 = int(ref_begin[b])
+            r.read_begin1 = int(read_begin[b])
+        do_cigar = want_cigar[b]
+        if do_cigar and (f & 4):
+            if (r.ref_end1 - r.ref_begin1 > req.filterd or
+                    r.read_end1 - r.read_begin1 > req.filterd):
+                do_cigar = False
+        if do_cigar:
+            attach_cigar(r, req.reads[b], req.ref, req.mat, req.gapO,
+                         req.gapE)
+        results.append(r)
+    return results
+
+
+def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
+                  W: int, mat_ext, tier_word: bool, backend):
+    """Batched begin-finding pass over reversed prefixes (static window W)."""
+    n = req.mat.shape[0]
+    Bs = len(idx)
+    rl_rev = (end_read[idx] + 1).astype(np.int32)
+    L = common.bucket_size(
+        int(common.pad_total(int(rl_rev.max()), word=tier_word)), 64)
+    rev_reads = np.full((Bs, L), n, dtype=np.int32)
+    for k, b in enumerate(idx):
+        rev_reads[k, : rl_rev[k]] = req.reads[b][end_read[b]::-1]
+    profile = common.build_profile(rev_reads, rl_rev, mat_ext)
+    # per-read reversed reference windows; out-of-range -> virtual letter
+    refw = np.full((Bs, W), n, dtype=np.int32)
+    ref_arr = np.asarray(req.ref, dtype=np.int32)
+    for k, b in enumerate(idx):
+        e = int(end_ref[b])
+        m = min(W, e + 1)
+        refw[k, :m] = ref_arr[e::-1][:m]
+    geo = common.batch_geometry(rl_rev, L, word=tier_word)
+    s, er, ed = scan_sw.forward_perread_ref(
+        jnp.asarray(profile), jnp.asarray(refw), jnp.asarray(rl_rev),
+        jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
+        jnp.asarray(geo.seg_start), req.gapO, req.gapE)
+    er = np.asarray(er)
+    ed = np.asarray(ed)
+    ref_begin = end_ref[idx] - er
+    read_begin = end_read[idx] - ed
+    return ref_begin.astype(np.int32), read_begin.astype(np.int32)
+
+
+def attach_cigar(r: oracle.AlignResult, read: np.ndarray, ref: np.ndarray,
+                 mat: np.ndarray, gapO: int, gapE: int):
+    sub_ref = ref[r.ref_begin1:r.ref_end1 + 1]
+    sub_read = read[r.read_begin1:r.read_end1 + 1]
+    band_width = abs(len(sub_ref) - len(sub_read)) + 1
+    full_band = max(len(sub_ref), len(sub_read))
+    path = None
+    while True:
+        path = oracle.banded_sw(sub_ref, sub_read, r.score1, gapO, gapE,
+                                band_width, mat)
+        if path is None:
+            break
+        if cigar_alignment_score(path, sub_ref, sub_read, mat, gapO,
+                                 gapE) == r.score1:
+            break
+        if band_width >= full_band:
+            path = None
+            break
+        band_width = full_band
+    if path is None:
+        r.flag = 1
+    else:
+        r.cigar = path
