@@ -12,7 +12,7 @@ derivation; exact for gapO > gapE).
 Shapes:
   profile   (B, n+1, L) int32   per-read query profile incl. virtual pad row
   ref       (R,) int32          shared target, or (B, R) per-read windows
-  outputs   scores/ends (B,), max_column (R, B) uint16
+  outputs   scores/ends (B,), max_column (B, R) uint16
 """
 
 from __future__ import annotations
@@ -27,8 +27,12 @@ SEG_BUMP = jnp.int32(2 ** 21)
 
 
 def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,
-                   col_mask, col_idx):
-    """One ref column for the whole batch.  sub: (B, L) substitution scores."""
+                   col_mask, col_idx, quirk=True):
+    """One ref column for the whole batch.  sub: (B, L) substitution scores.
+
+    quirk=False drops the lane-block E restriction; valid (bit-identical)
+    whenever min(mat) >= -2*gapE, where an adjacent insertion+deletion can
+    never beat the substitution it replaces (see core/oracle.py)."""
     H, E, gmax, end_ref, h_best = state
     h_diag = jnp.pad(H, ((0, 0), (1, 0)))[:, :-1] + sub
     h_tilde = jnp.maximum(jnp.maximum(h_diag, E), 0)
@@ -38,11 +42,15 @@ def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,
     F = jnp.pad(cm, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1] - decay + gapE
     F = jnp.maximum(F, 0)
     H = jnp.maximum(h_tilde, F)
-    # lane-block segmented prefix-max -> F_loc -> the H the E-update sees
-    cs = jax.lax.cummax(c + seg_bias, axis=1) - seg_bias
-    F_loc = jnp.pad(cs, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1] - decay + gapE
-    F_loc = jnp.where(seg_reset, 0, jnp.maximum(F_loc, 0))
-    h_fp = jnp.maximum(h_tilde, F_loc)
+    if quirk:
+        # lane-block segmented prefix-max -> F_loc -> the H the E-update sees
+        cs = jax.lax.cummax(c + seg_bias, axis=1) - seg_bias
+        F_loc = jnp.pad(cs, ((0, 0), (1, 0)),
+                        constant_values=NEG)[:, :-1] - decay + gapE
+        F_loc = jnp.where(seg_reset, 0, jnp.maximum(F_loc, 0))
+        h_fp = jnp.maximum(h_tilde, F_loc)
+    else:
+        h_fp = H
     E = jnp.maximum(jnp.maximum(E - gapE, h_fp - gapO), 0)
 
     colmax = jnp.max(jnp.where(col_mask, H, 0), axis=1)
@@ -73,9 +81,9 @@ def _finalize(state, read_len, L):
     return gmax, end_ref, end_read
 
 
-@functools.partial(jax.jit, static_argnames=("gapO", "gapE"))
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))
 def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
-                       gapO: int, gapE: int):
+                       gapO: int, gapE: int, quirk: bool = True):
     """Forward pass of a read batch against one shared target.
 
     Returns (score (B,), end_ref (B,), end_read (B,), max_column (R, B) u16).
@@ -91,19 +99,20 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         sub = jax.lax.dynamic_index_in_dim(profile, code, axis=1,
                                            keepdims=False)
         state, colmax = _column_update(sub, state, gapO, gapE, decay,
-                                       seg_bias, seg_reset, col_mask, col_idx)
+                                       seg_bias, seg_reset, col_mask,
+                                       col_idx, quirk)
         return state, colmax.astype(jnp.uint16)
 
     R = ref.shape[0]
     idxs = jnp.arange(R, dtype=jnp.int32)
     state, max_column = jax.lax.scan(step, _init_state(B, L), (ref, idxs))
     score, end_ref, end_read = _finalize(state, read_len, L)
-    return score, end_ref, end_read, max_column
+    return score, end_ref, end_read, max_column.swapaxes(0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("gapO", "gapE"))
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))
 def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
-                        gapO: int, gapE: int):
+                        gapO: int, gapE: int, quirk: bool = True):
     """Forward pass where every read has its own reference window (B, W);
     used by the begin-finding reverse pass.  No max_column output."""
     B, _, L = profile.shape
@@ -116,7 +125,7 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
         codes, col_idx = xs  # codes: (B,)
         sub = jnp.take_along_axis(profile, codes[:, None, None], axis=1)[:, 0, :]
         state, _ = _column_update(sub, state, gapO, gapE, decay, seg_bias,
-                                  seg_reset, col_mask, col_idx)
+                                  seg_reset, col_mask, col_idx, quirk)
         return state, None
 
     W = refw.shape[1]
@@ -128,11 +137,11 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
 def second_best_batch(max_column, end_ref, mask_len, ref_len, word_mask):
     """Vectorized suboptimal-score scan (ref: src/ssw.c:368-381, 570-583).
 
-    max_column: (R, B) uint16 (R may include bucket padding past ref_len);
+    max_column: (B, R) uint16 (R may include bucket padding past ref_len);
     word_mask: (B,) bool selecting the word-tier window edge semantics.
     Returns (score2 (B,), ref_end2 (B,)).
     """
-    mc = max_column.astype(jnp.int32).T  # (B, R)
+    mc = max_column.astype(jnp.int32)  # (B, R)
     B, R = mc.shape
     i = jnp.arange(R, dtype=jnp.int32)[None, :]
     lo_edge = jnp.maximum(end_ref - mask_len, 0)[:, None]

@@ -64,17 +64,24 @@ def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
     return common.bucket_size(int(min(w, ref_len)), 64)
 
 
-def _forward(profile, ref_codes, geometry, gapO, gapE, backend):
+def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
+    """The lane-block E quirk is observable only when an adjacent
+    insertion+deletion can beat the substitution it replaces, i.e. when
+    min(mat) < -2*gapE (see core/oracle.py)."""
+    return int(np.min(mat)) < -2 * gapE
+
+
+def _forward(profile, ref_codes, geometry, gapO, gapE, quirk, backend):
     if backend == "pallas":
         from ssw_tpu.ops import pallas_sw
         return pallas_sw.forward_shared_ref(
             profile, ref_codes, jnp.asarray(geometry.read_len),
             jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
-            jnp.asarray(geometry.seg_start), gapO, gapE)
+            jnp.asarray(geometry.seg_start), gapO, gapE, quirk)
     return scan_sw.forward_shared_ref(
         profile, ref_codes, jnp.asarray(geometry.read_len),
         jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
-        jnp.asarray(geometry.seg_start), gapO, gapE)
+        jnp.asarray(geometry.seg_start), gapO, gapE, quirk)
 
 
 def pick_backend(backend: str) -> str:
@@ -134,9 +141,11 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     ref_codes = jnp.asarray(ref_padded)
 
     word_tier = req.score_size == 1
+    quirk = needs_quirk(req.mat, req.gapE)
     geo = common.batch_geometry(read_len, L, word=word_tier)
     score, end_ref, end_read, max_col = _forward(
-        jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, backend)
+        jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
+        backend)
     score = np.array(score)
     end_ref = np.array(end_ref)
     end_read = np.array(end_read)
@@ -150,12 +159,12 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             prof_w = profile[idx]
             s_w, er_w, ed_w, mc_w = _forward(
                 jnp.asarray(prof_w), ref_codes, geo_w, req.gapO, req.gapE,
-                backend)
+                quirk, backend)
             score[idx] = np.asarray(s_w)
             end_ref[idx] = np.asarray(er_w)
             end_read[idx] = np.asarray(ed_w)
             max_col = np.array(max_col)
-            max_col[:, idx] = np.asarray(mc_w)
+            max_col[idx, :] = np.asarray(mc_w)
             word[idx] = True
 
     results: list[oracle.AlignResult | None] = []
@@ -253,7 +262,8 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
     s, er, ed = scan_sw.forward_perread_ref(
         jnp.asarray(profile), jnp.asarray(refw), jnp.asarray(rl_rev),
         jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
-        jnp.asarray(geo.seg_start), req.gapO, req.gapE)
+        jnp.asarray(geo.seg_start), req.gapO, req.gapE,
+        needs_quirk(req.mat, req.gapE))
     er = np.asarray(er)
     ed = np.asarray(ed)
     ref_begin = end_ref[idx] - er
