@@ -1,0 +1,91 @@
+"""Benchmark: forward-DP throughput (GCUPS) on one chip.
+
+Workload mirrors the reference's published benchmark (README.md:66-74):
+~200bp reads vs a multi-Mbp reference at default penalties m2/x2/o3/e1.
+The reference sustains ~1.1 GCUPS on one CPU core (9.9e11 cells in ~880s);
+that is the vs_baseline denominator.
+
+Prints ONE JSON line:
+  {"metric": "GCUPS", "value": N, "unit": "GCUPS", "vs_baseline": N/1.1}
+
+Timing covers the full forward pass (DP fill + per-column maxima streaming +
+suboptimal scan inputs), synchronized by a device->host transfer, which on
+this harness is the only reliable completion barrier.  I/O and traceback are
+excluded, matching how the survey prescribes honest GCUPS accounting
+(SURVEY.md section 6).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ssw_tpu.ops import common
+
+    platform = jax.devices()[0].platform
+    use_pallas = platform != "cpu"
+    if use_pallas:
+        from ssw_tpu.ops import pallas_sw as kernel
+    else:
+        from ssw_tpu.ops import scan_sw as kernel
+
+    rng = np.random.default_rng(42)
+    READS, READ_LEN = 1024, 200
+    R = 1 << 20 if use_pallas else 1 << 14
+    B, L = 128, 256
+
+    mat = np.zeros((5, 5), np.int8)
+    for i in range(4):
+        for j in range(4):
+            mat[i, j] = 2 if i == j else -2
+    mat_ext = common.extend_matrix(mat)
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    read_len = np.full(B, READ_LEN, np.int32)
+    geo = common.batch_geometry(read_len, L, word=False)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        reads = []
+        for _ in range(B):
+            off = int(r.integers(0, R - READ_LEN))
+            rd = ref[off:off + READ_LEN].copy()
+            m = r.random(READ_LEN) < 0.05
+            rd[m] = r.integers(0, 4, int(m.sum()))
+            reads.append(rd)
+        rp = common.pad_reads(reads, L, 5)
+        return jnp.asarray(common.build_profile(rp, read_len, mat_ext))
+
+    ref_d = jnp.asarray(ref)
+    geo_args = (jnp.asarray(read_len), jnp.asarray(geo.col_mask),
+                jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start))
+
+    def run(profile):
+        out = kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,
+                                        False)
+        return int(np.asarray(out[0])[0])  # host sync
+
+    profiles = [make_batch(s) for s in range(1 + (READS // B))]
+    run(profiles[0])  # compile + warm
+    n_batches = READS // B
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        run(profiles[1 + i])
+    dt = time.perf_counter() - t0
+
+    cells = float(READS) * READ_LEN * R
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "metric": "GCUPS",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / 1.1, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

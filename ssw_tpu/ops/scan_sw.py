@@ -27,7 +27,7 @@ SEG_BUMP = jnp.int32(2 ** 21)
 
 
 def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,
-                   col_mask, col_idx, quirk=True):
+                   col_mask, col_idx, quirk=True, gate=True):
     """One ref column for the whole batch.  sub: (B, L) substitution scores.
 
     quirk=False drops the lane-block E restriction; valid (bit-identical)
@@ -54,7 +54,7 @@ def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,
     E = jnp.maximum(jnp.maximum(E - gapE, h_fp - gapO), 0)
 
     colmax = jnp.max(jnp.where(col_mask, H, 0), axis=1)
-    upd = colmax > gmax
+    upd = (colmax > gmax) & gate
     gmax = jnp.where(upd, colmax, gmax)
     end_ref = jnp.where(upd, col_idx, end_ref)
     h_best = jnp.where(upd[:, None], H, h_best)
@@ -154,3 +154,32 @@ def second_best_batch(max_column, end_ref, mask_len, ref_len, word_mask):
     ref_end2 = jnp.argmax(vals == score2[:, None], axis=1).astype(jnp.int32)
     ref_end2 = jnp.where(score2 > 0, ref_end2, 0)
     return score2, ref_end2
+
+
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))
+def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
+                             seg_id, seg_start, gapO: int, gapE: int,
+                             quirk: bool = True):
+    """forward_shared_ref with explicit per-column global indices and an
+    `owned` gate: best-hit tracking only fires on owned columns.  Used by
+    the sequence-parallel shards whose warm-up (halo) columns are inexact
+    (see parallel/dist.py)."""
+    B, _, L = profile.shape
+    decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
+    seg_bias = seg_id * SEG_BUMP
+    seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    seg_reset = seg_start | (seg_prev != seg_id)
+
+    def step(state, xs):
+        code, col_idx, gate = xs
+        sub = jax.lax.dynamic_index_in_dim(profile, code, axis=1,
+                                           keepdims=False)
+        state, colmax = _column_update(sub, state, gapO, gapE, decay,
+                                       seg_bias, seg_reset, col_mask,
+                                       col_idx, quirk, gate)
+        return state, colmax.astype(jnp.uint16)
+
+    state, max_column = jax.lax.scan(step, _init_state(B, L),
+                                     (ref, idxs, owned))
+    score, end_ref, end_read = _finalize(state, read_len, L)
+    return score, end_ref, end_read, max_column.swapaxes(0, 1)
