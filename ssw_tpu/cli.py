@@ -28,7 +28,7 @@ from ssw_tpu.core.encoding import (AA_TABLE, BLOSUM50, NT_TABLE, dna_matrix,
                                    encode_with_table, parse_matrix_file,
                                    reverse_complement)
 from ssw_tpu.io import writers
-from ssw_tpu.io.fastx import read_fastx, read_fastx_all
+from ssw_tpu.io.fastx import read_fastx_auto as read_fastx, read_fastx_all
 
 USAGE = """
 Usage: ssw_test [options] ... <target.fasta> <query.fasta>(or <query.fastq>)

@@ -91,5 +91,51 @@ def read_fastx(path: str, chunk: int = 1 << 20) -> Iterator[FastxRecord]:
                         break
 
 
+def read_fastx_native(path: str, batch: int = 4096) -> Iterator[FastxRecord]:
+    """Native C++ reader (ssw_tpu/native/fastio.cpp); kseq-equivalent.
+    Raises ImportError when the native library is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    from ssw_tpu.native import build as native_build
+
+    lib = native_build.load()
+    if lib is None:
+        raise ImportError("native fastio unavailable")
+    h = lib.sswtpu_fastx_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        while True:
+            n = lib.sswtpu_fastx_batch(h, batch)
+            if n == 0:
+                break
+            size = lib.sswtpu_fastx_arena_size(h)
+            arena = ctypes.string_at(lib.sswtpu_fastx_arena(h), size)
+            offs = np.ctypeslib.as_array(
+                ctypes.cast(lib.sswtpu_fastx_offsets(h),
+                            ctypes.POINTER(ctypes.c_int64)),
+                shape=(int(n) * 8,)).copy()
+            for i in range(int(n)):
+                o = offs[i * 8: i * 8 + 8]
+                name = arena[o[0]:o[0] + o[1]].decode("latin-1")
+                comment = arena[o[2]:o[2] + o[3]].decode("latin-1")
+                seq = arena[o[4]:o[4] + o[5]].decode("latin-1")
+                qual = (None if o[6] < 0
+                        else arena[o[6]:o[6] + o[7]].decode("latin-1"))
+                yield FastxRecord(name, comment, seq, qual)
+    finally:
+        lib.sswtpu_fastx_close(h)
+
+
+def read_fastx_auto(path: str) -> Iterator[FastxRecord]:
+    """Native reader when available, pure-Python otherwise."""
+    try:
+        yield from read_fastx_native(path)
+    except ImportError:
+        yield from read_fastx(path)
+
+
 def read_fastx_all(path: str) -> list[FastxRecord]:
-    return list(read_fastx(path))
+    return list(read_fastx_auto(path))

@@ -273,23 +273,11 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
 
 def attach_cigar(r: oracle.AlignResult, read: np.ndarray, ref: np.ndarray,
                  mat: np.ndarray, gapO: int, gapE: int):
+    from ssw_tpu.ops import banded
+
     sub_ref = ref[r.ref_begin1:r.ref_end1 + 1]
     sub_read = read[r.read_begin1:r.read_end1 + 1]
-    band_width = abs(len(sub_ref) - len(sub_read)) + 1
-    full_band = max(len(sub_ref), len(sub_read))
-    path = None
-    while True:
-        path = oracle.banded_sw(sub_ref, sub_read, r.score1, gapO, gapE,
-                                band_width, mat)
-        if path is None:
-            break
-        if cigar_alignment_score(path, sub_ref, sub_read, mat, gapO,
-                                 gapE) == r.score1:
-            break
-        if band_width >= full_band:
-            path = None
-            break
-        band_width = full_band
+    path = banded.banded_cigar(sub_ref, sub_read, r.score1, gapO, gapE, mat)
     if path is None:
         r.flag = 1
     else:

@@ -66,3 +66,12 @@ def test_headerless_target_yields_no_records():
     rc, out, _ = run_cli(_paths(["-c", "target2.fa", "query2.fa"]))
     assert rc == 0
     assert out == ""
+
+
+def test_malformed_testseq_golden():
+    """demo/test.seq mixes '>' and '@' records; kseq parses them anyway."""
+    rc, out, _ = run_cli([os.path.join(DATA, "1k.fa"),
+                          os.path.join(DATA, "test.seq"), "-c"])
+    assert rc == 0
+    with open(os.path.join(GOLD, "g_testseq_blast.txt")) as f:
+        assert out == f.read()
