@@ -64,17 +64,22 @@ def main():
     geo_args = (jnp.asarray(read_len), jnp.asarray(geo.col_mask),
                 jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start))
 
+    kw = {"max_sub": 2} if use_pallas else {}
+
     def run(profile):
-        out = kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,
-                                        False)
-        return int(np.asarray(out[0])[0])  # host sync
+        return kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,
+                                         False, **kw)
 
     profiles = [make_batch(s) for s in range(1 + (READS // B))]
-    run(profiles[0])  # compile + warm
+    int(np.asarray(run(profiles[0])[0])[0])  # compile + warm + sync
     n_batches = READS // B
+    # queue all batches, then force one device->host transfer: the device
+    # executes queued programs in order, and on this harness a transfer is
+    # the only reliable completion barrier (block_until_ready is a no-op
+    # over the tunnel) -- one barrier instead of per-call round-trips
     t0 = time.perf_counter()
-    for i in range(n_batches):
-        run(profiles[1 + i])
+    outs = [run(profiles[1 + i]) for i in range(n_batches)]
+    int(np.asarray(outs[-1][0])[0])
     dt = time.perf_counter() - t0
 
     cells = float(READS) * READ_LEN * R

@@ -18,6 +18,7 @@ Implementation differences (documented):
 
 from __future__ import annotations
 
+import io
 import sys
 import time
 
@@ -141,75 +142,11 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
     def flush_batch():
         if not batch:
             return 0
-        reads = [b["num"] for b in batch]
-        mask_lens = [len(r) // 2 for r in reads]
-        for ml in mask_lens:
-            if ml < 15:
-                for _t in targets:
-                    err.write("When maskLen < 15, the function ssw_align "
-                              "doesn't return 2nd best alignment information.\n")
-        per_target = []
-        for enc_t in enc_targets:
-            req = pipeline.BatchRequest(
-                reads=reads, ref=enc_t, mat=mat, gapO=opts["gap_open"],
-                gapE=opts["gap_extension"], flag=flag, filters=filt,
-                filterd=0, mask_len=mask_lens, score_size=2)
-            res = pipeline.align_batch(req)
-            res_rc = None
-            if rc_allowed:
-                req_rc = pipeline.BatchRequest(
-                    reads=[b["num_rc"] for b in batch], ref=enc_t, mat=mat,
-                    gapO=opts["gap_open"], gapE=opts["gap_extension"],
-                    flag=flag, filters=filt, filterd=0, mask_len=mask_lens,
-                    score_size=2)
-                res_rc = pipeline.align_batch(req_rc)
-            per_target.append((res, res_rc))
-        # emit read-major, target-minor (the reference's loop order)
-        for bi, b in enumerate(batch):
-            for ti, t in enumerate(targets):
-                res, res_rc = per_target[ti]
-                result = res[bi]
-                result_rc = res_rc[bi] if res_rc else None
-                _emit_pair(out, err, b, t, enc_targets[ti], result, result_rc,
-                           table, sam, filt, opts)
+        for text in render_batch(batch, targets, enc_targets, mat, opts,
+                                 table, sam, filt, flag, rc_allowed, err):
+            out.write(text)
         batch.clear()
         return 0
-
-    def _emit_pair(out, err, b, t, enc_t, result, result_rc, table, sam,
-                   filt, opts):
-        rec = b["rec"]
-        if result is None:
-            err.write("Warning: Alignment between the following sequences "
-                      f"is failed.\nref_name: {t.name}\nread_name: "
-                      f"{rec.name}\n\n")
-            return
-        if (result_rc is not None and result_rc.score1 > result.score1
-                and result_rc.score1 >= filt):
-            if result_rc.flag == 2:
-                err.write("Warning: The reverse compliment alignment of the "
-                          f"following sequences may miss a small part.\n"
-                          f"ref_seq: {t.name}\nread_seq: {rec.name}\n\n")
-            if sam:
-                writers.sam_record(out, result_rc, t.name, rec.name,
-                                   b["rc"], rec.qual, enc_t, b["num_rc"], 1)
-            else:
-                writers.blast_like(out, result_rc, t.name, rec.name, t.seq,
-                                   b["rc"], table, 1)
-        elif result.score1 > 0 and result.score1 >= filt:
-            if result.flag == 2:
-                err.write("Warning: The alignment of the following sequences "
-                          f"may miss a small part.\nref_seq: {t.name}\n"
-                          f"read_seq: {rec.name}\n\n")
-            if sam:
-                writers.sam_record(out, result, t.name, rec.name, rec.seq,
-                                   rec.qual, enc_t, b["num"], 0)
-            else:
-                writers.blast_like(out, result, t.name, rec.name, t.seq,
-                                   rec.seq, table, 0)
-        elif result.score1 <= 0:
-            err.write("There is no identical residue between the following "
-                      f"reference and read seqeunces.\nref_name: {t.name}\n"
-                      f"read_name: {rec.name}\n\n")
 
     for rec in read_fastx(query_path):
         if opts["reverse"] and n == 24:
@@ -228,6 +165,88 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
     cpu_time = time.process_time() - start
     err.write(f"CPU time: {cpu_time:f} seconds\n")
     return 0
+
+
+def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
+                 flag, rc_allowed, err, mesh=None) -> list[str]:
+    """Align a batch of encoded query entries against every target and
+    render per-read output (read-major, target-minor — the reference's loop
+    order, ref: src/main.c:462,493).  Returns one string per read ("" when
+    everything about the read is suppressed).  With a mesh, the forward
+    pass runs data+sequence parallel (pipeline.align_batch_sharded)."""
+    reads = [b["num"] for b in batch]
+    mask_lens = [len(r) // 2 for r in reads]
+    for ml in mask_lens:
+        if ml < 15:
+            for _t in targets:
+                err.write("When maskLen < 15, the function ssw_align "
+                          "doesn't return 2nd best alignment information.\n")
+    align = (pipeline.align_batch if mesh is None
+             else lambda req: pipeline.align_batch_sharded(req, mesh))
+    per_target = []
+    for enc_t in enc_targets:
+        req = pipeline.BatchRequest(
+            reads=reads, ref=enc_t, mat=mat, gapO=opts["gap_open"],
+            gapE=opts["gap_extension"], flag=flag, filters=filt,
+            filterd=0, mask_len=mask_lens, score_size=2)
+        res = align(req)
+        res_rc = None
+        if rc_allowed:
+            req_rc = pipeline.BatchRequest(
+                reads=[b["num_rc"] for b in batch], ref=enc_t, mat=mat,
+                gapO=opts["gap_open"], gapE=opts["gap_extension"],
+                flag=flag, filters=filt, filterd=0, mask_len=mask_lens,
+                score_size=2)
+            res_rc = align(req_rc)
+        per_target.append((res, res_rc))
+    rendered = []
+    for bi, b in enumerate(batch):
+        buf = io.StringIO()
+        for ti, t in enumerate(targets):
+            res, res_rc = per_target[ti]
+            result = res[bi]
+            result_rc = res_rc[bi] if res_rc else None
+            _emit_pair(buf, err, b, t, enc_targets[ti], result, result_rc,
+                       table, sam, filt, opts)
+        rendered.append(buf.getvalue())
+    return rendered
+
+
+def _emit_pair(out, err, b, t, enc_t, result, result_rc, table, sam,
+               filt, opts):
+    rec = b["rec"]
+    if result is None:
+        err.write("Warning: Alignment between the following sequences "
+                  f"is failed.\nref_name: {t.name}\nread_name: "
+                  f"{rec.name}\n\n")
+        return
+    if (result_rc is not None and result_rc.score1 > result.score1
+            and result_rc.score1 >= filt):
+        if result_rc.flag == 2:
+            err.write("Warning: The reverse compliment alignment of the "
+                      f"following sequences may miss a small part.\n"
+                      f"ref_seq: {t.name}\nread_seq: {rec.name}\n\n")
+        if sam:
+            writers.sam_record(out, result_rc, t.name, rec.name,
+                               b["rc"], rec.qual, enc_t, b["num_rc"], 1)
+        else:
+            writers.blast_like(out, result_rc, t.name, rec.name, t.seq,
+                               b["rc"], table, 1)
+    elif result.score1 > 0 and result.score1 >= filt:
+        if result.flag == 2:
+            err.write("Warning: The alignment of the following sequences "
+                      f"may miss a small part.\nref_seq: {t.name}\n"
+                      f"read_seq: {rec.name}\n\n")
+        if sam:
+            writers.sam_record(out, result, t.name, rec.name, rec.seq,
+                               rec.qual, enc_t, b["num"], 0)
+        else:
+            writers.blast_like(out, result, t.name, rec.name, t.seq,
+                               rec.seq, table, 0)
+    elif result.score1 <= 0:
+        err.write("There is no identical residue between the following "
+                  f"reference and read seqeunces.\nref_name: {t.name}\n"
+                  f"read_name: {rec.name}\n\n")
 
 
 if __name__ == "__main__":

@@ -3,19 +3,29 @@
 TPU-first design notes (this is a re-design, not a port of the SSE kernel in
 ref: src/ssw.c:197-386):
 
-  * The VPU operates on 32-bit lanes, so the reference's 8-bit/16-bit SIMD
-    split buys nothing on TPU; the DP runs exactly in int32 and the
-    byte/word tiers survive only as *geometry* (lane-block ids + column
-    masks) because they are observable in the suboptimal-score scan.
+  * The reference's 8-bit/16-bit SIMD split becomes a value-range split over
+    VPU lane width: the default tier runs the DP in **int16** (2x vector
+    registers per op vs int32), which is exact whenever the provable cell
+    bound  L*(max|mat| + gapE) + gapO  fits in 14 bits — true for every DNA
+    and most protein workloads, in both the reference's "byte" and "word"
+    geometries (any cell is bounded by read_len * max(mat), so no saturation
+    handling is needed, unlike the reference's clamp-at-255 path).  Workloads
+    outside that bound, and the quirk path (whose segmented-scan bias needs
+    headroom), run the int32 kernel.
   * Farrar's lazy-F correction loop becomes a log-depth prefix-max scan
     along the read dimension (Hillis-Steele with masked lane rolls); the
     reference's "E sees only lane-local F" quirk is a second scan over the
     same source with a per-read segmented reset (implemented by biasing
-    each lane block into its own value range).
+    each lane block into its own value range; int32 kernel only).
   * The reference grid iterates sequentially over reference-column blocks;
     H/E state and best-score trackers live in VMEM scratch that persists
     across grid steps.  Per-column maxima stream out to HBM for the
     suboptimal-score scan; batch layout is (B sublanes, L lanes).
+  * F's zero-clamp is dropped (a negative F never beats h_tilde >= 0); E's
+    zero-clamp is kept — it is semantically free (a negative E never wins a
+    max against h_tilde >= 0) and bounds the value range.  Affine constants
+    (decay - gapO, gapE - decay, lane masks) are folded outside the column
+    loop.
 
 Shapes: profile (n+1, B, L) int32, ref (R,) int32 with R % COL_BLOCK == 0,
 geometry masks (B, L) int32.  Outputs match ops/scan_sw.forward_shared_ref.
@@ -31,42 +41,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2 ** 28)
+NEG16 = -(2 ** 14)
 SEG_BUMP = 2 ** 21
 COL_BLOCK = 256
+I16_HEADROOM = 2 ** 14  # cell-value bound that makes the int16 tier exact
 
 
-def _prefix_max(x, L, bound=None):
-    """Inclusive prefix max along the last axis (log-depth masked shifts).
+def _shift_right(x, s, fill):
+    """Shift lanes right by s, filling vacated lanes with `fill`.  Lowered by
+    Mosaic as pad+slice (works for 16- and 32-bit lanes; pltpu.roll would
+    need an extra iota/select for the fill and only supports 32-bit)."""
+    return jnp.pad(x, ((0, 0), (s, 0)), constant_values=fill)[:, :-s]
+
+
+def _prefix_max(x, L, neg, bound=None):
+    """Inclusive prefix max along the last axis (log-depth shifted maxes).
     `bound` limits the scan radius (enough for segmented scans whose segments
     are at most `bound` long)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     s = 1
     limit = L if bound is None else min(bound, L)
     while s < limit:
-        shifted = pltpu.roll(x, s, axis=1)
-        x = jnp.maximum(x, jnp.where(col >= s, shifted, NEG))
+        x = jnp.maximum(x, _shift_right(x, s, neg))
         s *= 2
     return x
 
 
-def _shift_right_one(x, fill):
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    return jnp.where(col >= 1, pltpu.roll(x, 1, axis=1), fill)
-
-
 def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
-                    profile_ref,       # VMEM (n1, B, L)
-                    col_mask_ref,      # VMEM (B, L) int32 0/1
+                    profile_ref,       # VMEM (n1, B, L) dt
+                    dmg_ref,           # VMEM (B, L) dt: decay - gapO
+                    gmd_ref,           # VMEM (B, L) dt: gapE - decay
+                    maskneg_ref,       # VMEM (B, L) dt: 0 valid / neg pad
                     seg_bias_ref,      # VMEM (B, L) int32 seg_id * SEG_BUMP
                     seg_reset_ref,     # VMEM (B, L) int32 0/1
-                    maxcol_ref,        # out VMEM (B, COL_BLOCK) int32
+                    maxcol_ref,        # out VMEM (B, COL_BLOCK) dt
                     gmax_ref,          # out VMEM (B, 1) int32
                     end_ref_ref,       # out VMEM (B, 1) int32
-                    h_best_ref,        # out VMEM (B, L) int32
-                    H_ref, E_ref,      # scratch VMEM (B, L) int32
-                    *, gapO: int, gapE: int, L: int, quirk: bool):
+                    h_best_ref,        # out VMEM (B, L) dt
+                    H_ref, E_ref,      # scratch VMEM (B, L) dt
+                    *, gapO: int, gapE: int, L: int, quirk: bool, dt):
     block = pl.program_id(0)
-    nblocks = pl.num_programs(0)
+    neg = dt(NEG16 if dt == jnp.int16 else NEG)
 
     @pl.when(block == 0)
     def _init():
@@ -76,44 +90,49 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
         h_best_ref[...] = jnp.zeros_like(h_best_ref)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (profile_ref.shape[1], L), 1)
-    decay = col * gapE
-    col_mask = col_mask_ref[...]
-    seg_bias = seg_bias_ref[...]
-    seg_reset = seg_reset_ref[...]
+    dmg = dmg_ref[...]
+    gmd = gmd_ref[...]
+    maskneg = maskneg_ref[...]
+    zero = dt(0)
+    if quirk:
+        seg_bias = seg_bias_ref[...]
+        seg_reset = seg_reset_ref[...]
+        decay_q = -(gmd.astype(jnp.int32) - gapE)
 
     def body(j, _):
         code = ref_ref[0, 0, j]
         sub = profile_ref[code]
         H = H_ref[...]
         E = E_ref[...]
-        h_diag = _shift_right_one(H, 0) + sub
-        h_tilde = jnp.maximum(jnp.maximum(h_diag, E), 0)
-        c = h_tilde - gapO + decay
-        cm = _prefix_max(c, L)
-        F = jnp.maximum(_shift_right_one(cm, NEG) - decay + gapE, 0)
+        h_diag = _shift_right(H, 1, zero) + sub
+        h_tilde = jnp.maximum(jnp.maximum(h_diag, E), zero)
+        c = h_tilde + dmg
+        cm = _prefix_max(c, L, neg)
+        F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
         H = jnp.maximum(h_tilde, F)
         if quirk:
             # lane-block-segmented scan; segments are <= L/8 long (word
             # tier) so the scan radius is bounded (the bias pushes other
             # segments out of range, making cross-segment carries inert)
-            cs = _prefix_max(c + seg_bias, L, bound=max(L // 8, 1)) - seg_bias
-            F_loc = _shift_right_one(cs, NEG) - decay + gapE
+            cs = _prefix_max(c + seg_bias, L, neg,
+                             bound=max(L // 8, 1)) - seg_bias
+            F_loc = _shift_right(cs, 1, neg) - decay_q + gapE
             F_loc = jnp.where(seg_reset > 0, 0, jnp.maximum(F_loc, 0))
             h_fp = jnp.maximum(h_tilde, F_loc)
         else:
             h_fp = H
-        E = jnp.maximum(jnp.maximum(E - gapE, h_fp - gapO), 0)
+        E = jnp.maximum(jnp.maximum(E - dt(gapE), h_fp - dt(gapO)), zero)
         H_ref[...] = H
         E_ref[...] = E
 
-        colmax = jnp.max(jnp.where(col_mask > 0, H, 0), axis=1,
-                         keepdims=True)  # (B, 1)
+        colmax = jnp.max((H + maskneg).astype(jnp.int32), axis=1,
+                         keepdims=True)  # (B, 1) int32
         # lane-masked select instead of a single-lane dynamic store (Mosaic
         # requires lane offsets to be 128-aligned)
         lane = jax.lax.broadcasted_iota(jnp.int32,
                                         (colmax.shape[0], COL_BLOCK), 1)
-        maxcol_ref[...] = jnp.where(lane == j, colmax, maxcol_ref[...])
+        maxcol_ref[...] = jnp.where(lane == j, colmax.astype(dt),
+                                    maxcol_ref[...])
         gmax = gmax_ref[...]
         upd = colmax > gmax
         gmax_ref[...] = jnp.where(upd, colmax, gmax)
@@ -125,21 +144,32 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     jax.lax.fori_loop(0, COL_BLOCK, body, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("gapO", "gapE", "quirk", "interpret"))
-def _forward_call(profile, ref_blocks, col_mask, seg_bias, seg_reset,
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
+                                              "use_i16", "interpret"))
+def _forward_call(profile, ref_blocks, col_mask, seg_id, seg_start,
                   gapO: int, gapE: int, quirk: bool = True,
-                  interpret: bool = False):
+                  use_i16: bool = False, interpret: bool = False):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
+    dt = jnp.int16 if use_i16 else jnp.int32
+    neg = NEG16 if use_i16 else NEG
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
-                               quirk=quirk)
+                               quirk=quirk, dt=dt)
+    decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
+    dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(dt)
+    gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(dt)
+    maskneg = jnp.where(col_mask > 0, 0, neg).astype(dt)
+    seg_bias = (seg_id * SEG_BUMP).astype(jnp.int32)
+    seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    seg_reset = (seg_start | (seg_prev != seg_id)).astype(jnp.int32)
     out_shape = (
-        jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), jnp.int32),
+        jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), dt),
     )
+    vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
@@ -148,9 +178,7 @@ def _forward_call(profile, ref_blocks, col_mask, seg_bias, seg_reset,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n1, B, L), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         out_specs=(
             pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
@@ -160,8 +188,8 @@ def _forward_call(profile, ref_blocks, col_mask, seg_bias, seg_reset,
             pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, L), jnp.int32),
-            pltpu.VMEM((B, L), jnp.int32),
+            pltpu.VMEM((B, L), dt),
+            pltpu.VMEM((B, L), dt),
         ],
     )
     cost = pl.CostEstimate(
@@ -175,15 +203,56 @@ def _forward_call(profile, ref_blocks, col_mask, seg_bias, seg_reset,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(ref_blocks, profile, col_mask, seg_bias, seg_reset)
+    )(ref_blocks, profile.astype(dt), dmg, gmd, maskneg, seg_bias, seg_reset)
     return maxcol, gmax, end_ref, h_best
 
 
+_I16_OK: bool | None = None
+
+
+def _i16_supported() -> bool:
+    """Whether the backend can compile int16 vector arithmetic.  Mosaic's
+    int16 support varies by libtpu build (the current axon toolchain aborts
+    on arith.maxsi/subi over int16 vectors), so probe once with a tiny
+    kernel and cache the answer; interpret mode (CPU) always works."""
+    global _I16_OK
+    if _I16_OK is None:
+        if jax.devices()[0].platform == "cpu":
+            _I16_OK = True
+        else:
+            def probe(x_ref, o_ref):
+                v = jnp.maximum(x_ref[...] - jnp.int16(1), jnp.int16(0))
+                o_ref[...] = _shift_right(v, 1, jnp.int16(-3))
+
+            try:
+                x = jnp.zeros((8, 128), jnp.int16)
+                jax.block_until_ready(pl.pallas_call(
+                    probe,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16))(x))
+                _I16_OK = True
+            except Exception:  # compile-time NotImplemented/abort
+                _I16_OK = False
+    return _I16_OK
+
+
+def i16_exact(L: int, gapO: int, gapE: int, max_sub: int | None,
+              quirk: bool) -> bool:
+    """True when the int16 tier is provably exact: every DP cell is bounded
+    by L*max|mat| (scores only accumulate over read positions), and all
+    intermediates (c = h + decay - gapO, F fills at NEG16 - decay) stay
+    inside int16.  The quirk path needs the SEG_BUMP bias headroom -> i32."""
+    if quirk or max_sub is None:
+        return False
+    return L * (max_sub + gapE) + gapO < I16_HEADROOM
+
+
 def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
-                       gapO: int, gapE: int, quirk: bool = True):
+                       gapO: int, gapE: int, quirk: bool = True,
+                       max_sub: int | None = None):
     """Drop-in equivalent of scan_sw.forward_shared_ref running the Pallas
     kernel.  profile here is (B, n1, L) like the scan path; transposed and
-    re-blocked internally."""
+    re-blocked internally.  max_sub = max|substitution score| enables the
+    int16 fast tier when the value range allows it."""
     B, n1, L = profile.shape
     prof = jnp.transpose(profile, (1, 0, 2))
     R = ref.shape[0]
@@ -191,15 +260,18 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     ref_padded = jnp.full((Rp,), n1 - 1, dtype=jnp.int32).at[:R].set(ref)
     ref_blocks = ref_padded.reshape(Rp // COL_BLOCK, 1, COL_BLOCK)
     interpret = jax.devices()[0].platform == "cpu"
+    use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
     maxcol, gmax, end_ref, h_best = _forward_call(
         prof, ref_blocks, col_mask.astype(jnp.int32),
-        (seg_id * SEG_BUMP).astype(jnp.int32), seg_start.astype(jnp.int32),
-        gapO, gapE, quirk, interpret)
+        seg_id.astype(jnp.int32), seg_start.astype(jnp.int32),
+        gapO, gapE, quirk, use_i16, interpret)
     # finalize like the scan path
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
     gmax_v = gmax[:, 0]
-    hit = (h_best == gmax[:, :1]) & (j < read_len[:, None]) & (gmax > 0)
+    hit = ((h_best.astype(jnp.int32) == gmax) & (j < read_len[:, None])
+           & (gmax > 0))
     cand = jnp.where(hit, j, L)
     end_read = jnp.min(cand, axis=1)
     end_read = jnp.where(end_read == L, read_len - 1, end_read)
-    return gmax_v, end_ref[:, 0], end_read, maxcol[:, :R].astype(jnp.uint16)
+    return (gmax_v, end_ref[:, 0], end_read,
+            maxcol[:, :R].astype(jnp.uint16))

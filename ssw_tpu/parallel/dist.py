@@ -49,20 +49,24 @@ def _merge_best(score_g, idx_g):
 
 def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
                     seg_start, gapO: int, gapE: int, mask_len, ref_len: int,
-                    halo: int, quirk: bool = True):
+                    halo: int, quirk: bool = True, word_mask=None):
     """Forward pass + suboptimal scan over a (data, seq) mesh.
 
     profile: (B, n1, L) with B divisible by mesh 'data' size;
     ref_ext: (halo + R) target codes, `halo` virtual-letter columns
-    prepended (R divisible by 'seq' size); mask_len: (B,) int32.
+    prepended (R divisible by 'seq' size); mask_len: (B,) int32;
+    word_mask: (B,) bool selecting the word-tier suboptimal window edge
+    (ref: src/ssw.c:578 scans i = edge, byte scans i = edge+1, :376).
     Returns (score, end_ref, end_read, score2, ref_end2), each (B,),
     replicated over 'seq'.
     """
     S = mesh.shape["seq"]
     R = ref_ext.shape[0] - halo
     C = R // S
+    if word_mask is None:
+        word_mask = jnp.zeros(profile.shape[0], bool)
 
-    def local(prof, ref_ext_loc, rlen, cmask, sid, sstart, mlen):
+    def local(prof, ref_ext_loc, rlen, cmask, sid, sstart, mlen, wmask):
         k = jax.lax.axis_index("seq")
         start = k * C  # first owned global column
         ref_loc = jax.lax.dynamic_slice(ref_ext_loc, (start,), (halo + C,))
@@ -84,7 +88,8 @@ def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
         i = jnp.arange(C, dtype=jnp.int32)[None, :] + start
         lo_edge = jnp.maximum(g_end_ref - mlen, 0)[:, None]
         hi_edge = jnp.minimum(g_end_ref + mlen, ref_len)[:, None]
-        allowed = ((i < lo_edge) | (i >= hi_edge + 1)) & (i < ref_len)
+        start_hi = jnp.where(wmask[:, None], hi_edge, hi_edge + 1)
+        allowed = ((i < lo_edge) | (i >= start_hi)) & (i < ref_len)
         vals = jnp.where(allowed, mc, 0)
         s2_loc = jnp.max(vals, axis=1)
         i2_loc = jnp.take_along_axis(
@@ -103,9 +108,10 @@ def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
         local, mesh=mesh,
         in_specs=(P("data", None, None), P(None), P("data"),
                   P("data", None), P("data", None), P("data", None),
-                  P("data")),
+                  P("data"), P("data")),
         out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         check_rep=False,
     )
     return fn(profile, ref_ext, read_len, col_mask, seg_id, seg_start,
-              jnp.asarray(mask_len, dtype=jnp.int32))
+              jnp.asarray(mask_len, dtype=jnp.int32),
+              jnp.asarray(word_mask, dtype=bool))

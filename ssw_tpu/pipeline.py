@@ -71,13 +71,15 @@ def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
     return int(np.min(mat)) < -2 * gapE
 
 
-def _forward(profile, ref_codes, geometry, gapO, gapE, quirk, backend):
+def _forward(profile, ref_codes, geometry, gapO, gapE, quirk, backend,
+             max_sub=None):
     if backend == "pallas":
         from ssw_tpu.ops import pallas_sw
         return pallas_sw.forward_shared_ref(
             profile, ref_codes, jnp.asarray(geometry.read_len),
             jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
-            jnp.asarray(geometry.seg_start), gapO, gapE, quirk)
+            jnp.asarray(geometry.seg_start), gapO, gapE, quirk,
+            max_sub=max_sub)
     return scan_sw.forward_shared_ref(
         profile, ref_codes, jnp.asarray(geometry.read_len),
         jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
@@ -118,13 +120,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
 
     if req.gapO <= req.gapE:
         # bug-compatible slow path (see module docstring)
-        return [
-            oracle.ssw_align(r, req.ref, req.mat, req.gapO, req.gapE,
-                             flag=req.flag, filters=req.filters,
-                             filterd=req.filterd, mask_len=int(mask_len[b]),
-                             score_size=req.score_size)
-            for b, r in enumerate(req.reads)
-        ]
+        return pipeline_fallback(req)
 
     read_len = np.array([len(r) for r in req.reads], dtype=np.int32)
     max_rl = int(read_len.max())
@@ -143,9 +139,10 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
     geo = common.batch_geometry(read_len, L, word=word_tier)
+    max_sub = int(np.max(np.abs(req.mat)))
     score, end_ref, end_read, max_col = _forward(
         jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
-        backend)
+        backend, max_sub)
     score = np.array(score)
     end_ref = np.array(end_ref)
     end_read = np.array(end_read)
@@ -159,7 +156,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             prof_w = profile[idx]
             s_w, er_w, ed_w, mc_w = _forward(
                 jnp.asarray(prof_w), ref_codes, geo_w, req.gapO, req.gapE,
-                quirk, backend)
+                quirk, backend, max_sub)
             score[idx] = np.asarray(s_w)
             end_ref[idx] = np.asarray(er_w)
             end_read[idx] = np.asarray(ed_w)
@@ -167,7 +164,6 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             max_col[idx, :] = np.asarray(mc_w)
             word[idx] = True
 
-    results: list[oracle.AlignResult | None] = []
     null_mask = np.zeros(B, dtype=bool)
     if req.score_size == 0:
         null_mask = score + bias >= 255
@@ -178,6 +174,19 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         jnp.asarray(mask_len), ref_len, jnp.asarray(word))
     score2 = np.asarray(score2)
     ref_end2 = np.asarray(ref_end2)
+
+    return _finish_batch(req, score, end_ref, end_read, score2, ref_end2,
+                         word, null_mask, mat_ext, backend)
+
+
+def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
+                  ref_end2, word, null_mask, mat_ext, backend):
+    """Shared orchestration tail: begin-finding reverse pass per tier,
+    filter/flag gating, banded traceback (ref: src/ssw.c:905-977)."""
+    B = len(req.reads)
+    ref_len = len(req.ref)
+    mask_len = _as_masklen_array(req.mask_len, B)
+    results: list[oracle.AlignResult | None] = []
 
     # which reads need the reverse pass / cigar
     aligned = score > 0
@@ -237,6 +246,100 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
                          req.gapE)
         results.append(r)
     return results
+
+
+def align_batch_sharded(req: BatchRequest, mesh) -> list:
+    """align_batch with the forward pass + suboptimal scan running over a
+    (data x seq) device mesh (reads data-parallel, target sequence-parallel
+    with halo re-compute, collective best-hit merge — parallel/dist.py).
+    The begin-finding reverse pass and traceback stay host-side (tiny).
+    Bit-identical to align_batch (SURVEY.md section 2.3 design)."""
+    B = len(req.reads)
+    if B == 0:
+        return []
+    if req.gapO <= req.gapE:
+        return pipeline_fallback(req)
+    n = req.mat.shape[0]
+    bias = matrix_bias(req.mat)
+    ref_len = len(req.ref)
+    mask_len = np.maximum(_as_masklen_array(req.mask_len, B), 0)
+
+    D = mesh.shape["data"]
+    S = mesh.shape["seq"]
+    Bp = (B + D - 1) // D * D
+    reads = list(req.reads) + [req.reads[0]] * (Bp - B)
+    read_len = np.array([len(r) for r in reads], dtype=np.int32)
+    ml = np.concatenate([mask_len, np.full(Bp - B, 15, np.int32)])
+
+    max_rl = int(read_len.max())
+    L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
+    mat_ext = common.extend_matrix(req.mat)
+    reads_padded = common.pad_reads(reads, L, pad_code=n)
+    profile = common.build_profile(reads_padded, read_len, mat_ext)
+    word_tier = req.score_size == 1
+    quirk = needs_quirk(req.mat, req.gapE)
+    geo = common.batch_geometry(read_len, L, word=word_tier)
+
+    # pad the target so every seq shard gets the same column count; the
+    # virtual letter rides diagonally at zero cost and padded columns are
+    # masked out of the suboptimal scan by ref_len
+    halo = _window_len(max_rl, ref_len, req.mat, req.gapO, req.gapE)
+    Rp = (ref_len + 256 * S - 1) // (256 * S) * (256 * S)
+    ref_ext = np.full(halo + Rp, n, dtype=np.int32)
+    ref_ext[halo:halo + ref_len] = req.ref
+
+    from ssw_tpu.parallel import dist
+
+    def fwd(prof, geo, word_mask):
+        out = dist.sharded_forward(
+            mesh, jnp.asarray(prof), jnp.asarray(ref_ext),
+            jnp.asarray(geo.read_len), jnp.asarray(geo.col_mask),
+            jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start),
+            req.gapO, req.gapE, jnp.asarray(ml), ref_len, halo, quirk,
+            word_mask)
+        return [np.array(x) for x in out]  # writable copies
+
+    word = np.full(Bp, word_tier)
+    score, end_ref, end_read, score2, ref_end2 = fwd(
+        profile, geo, jnp.asarray(word))
+    if req.score_size == 2:
+        need_word = score + bias >= 255
+        if need_word.any():
+            # rerun the whole padded batch in word geometry and splice the
+            # overflowed rows (keeps the batch D-divisible without a second
+            # padding round; the extra rows are discarded)
+            geo_w = common.batch_geometry(read_len, L, word=True)
+            s_w, er_w, ed_w, s2_w, re2_w = fwd(
+                profile, geo_w, jnp.ones(Bp, bool))
+            idx = np.nonzero(need_word)[0]
+            score[idx] = s_w[idx]
+            end_ref[idx] = er_w[idx]
+            end_read[idx] = ed_w[idx]
+            score2[idx] = s2_w[idx]
+            ref_end2[idx] = re2_w[idx]
+            word[idx] = True
+
+    req_full = BatchRequest(
+        reads=reads, ref=req.ref, mat=req.mat, gapO=req.gapO, gapE=req.gapE,
+        flag=req.flag, filters=req.filters, filterd=req.filterd,
+        mask_len=ml, score_size=req.score_size)
+    results = _finish_batch(req_full, score, end_ref, end_read, score2,
+                            ref_end2, word, np.zeros(Bp, bool), mat_ext,
+                            "scan")
+    return results[:B]
+
+
+def pipeline_fallback(req: BatchRequest) -> list:
+    """Per-pair oracle path (bug-compatible lazy-F semantics when
+    gapO <= gapE; see align_batch)."""
+    mask_len = _as_masklen_array(req.mask_len, len(req.reads))
+    return [
+        oracle.ssw_align(r, req.ref, req.mat, req.gapO, req.gapE,
+                         flag=req.flag, filters=req.filters,
+                         filterd=req.filterd, mask_len=int(mask_len[b]),
+                         score_size=req.score_size)
+        for b, r in enumerate(req.reads)
+    ]
 
 
 def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
