@@ -246,6 +246,14 @@ def i16_exact(L: int, gapO: int, gapE: int, max_sub: int | None,
     return L * (max_sub + gapE) + gapO < I16_HEADROOM
 
 
+# Measured on v5e: one column step has a ~1us serial-dependency latency
+# regardless of width, and ~32k lanes saturate it exactly; wider batches go
+# throughput-bound at ~25% lower per-lane rate.  Oversized batches are
+# therefore split into sweet-spot chunks that queue back-to-back on the
+# device stream.
+OPT_LANES = 32768
+
+
 def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
                        gapO: int, gapE: int, quirk: bool = True,
                        max_sub: int | None = None):
@@ -254,24 +262,34 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     re-blocked internally.  max_sub = max|substitution score| enables the
     int16 fast tier when the value range allows it."""
     B, n1, L = profile.shape
-    prof = jnp.transpose(profile, (1, 0, 2))
     R = ref.shape[0]
     Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
     ref_padded = jnp.full((Rp,), n1 - 1, dtype=jnp.int32).at[:R].set(ref)
     ref_blocks = ref_padded.reshape(Rp // COL_BLOCK, 1, COL_BLOCK)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
-    maxcol, gmax, end_ref, h_best = _forward_call(
-        prof, ref_blocks, col_mask.astype(jnp.int32),
-        seg_id.astype(jnp.int32), seg_start.astype(jnp.int32),
-        gapO, gapE, quirk, use_i16, interpret)
-    # finalize like the scan path
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    gmax_v = gmax[:, 0]
-    hit = ((h_best.astype(jnp.int32) == gmax) & (j < read_len[:, None])
-           & (gmax > 0))
-    cand = jnp.where(hit, j, L)
-    end_read = jnp.min(cand, axis=1)
-    end_read = jnp.where(end_read == L, read_len - 1, end_read)
-    return (gmax_v, end_ref[:, 0], end_read,
-            maxcol[:, :R].astype(jnp.uint16))
+
+    b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
+    outs = []
+    for lo in range(0, B, b_opt):
+        hi = min(lo + b_opt, B)
+        prof = jnp.transpose(profile[lo:hi], (1, 0, 2))
+        maxcol, gmax, end_ref, h_best = _forward_call(
+            prof, ref_blocks, col_mask[lo:hi].astype(jnp.int32),
+            seg_id[lo:hi].astype(jnp.int32),
+            seg_start[lo:hi].astype(jnp.int32),
+            gapO, gapE, quirk, use_i16, interpret)
+        # finalize like the scan path
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        rl = read_len[lo:hi]
+        hit = ((h_best.astype(jnp.int32) == gmax) & (j < rl[:, None])
+               & (gmax > 0))
+        cand = jnp.where(hit, j, L)
+        end_read = jnp.min(cand, axis=1)
+        end_read = jnp.where(end_read == L, rl - 1, end_read)
+        outs.append((gmax[:, 0], end_ref[:, 0], end_read,
+                     maxcol[:, :R].astype(jnp.uint16)))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
+                 for k in range(4))

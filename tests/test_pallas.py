@@ -50,6 +50,17 @@ def test_pallas_matches_scan(max_sub, gapO, gapE, quirk, word):
                                       err_msg=name)
 
 
+def test_batch_chunking_matches_unchunked(monkeypatch):
+    """Oversized batches split into sweet-spot chunks (OPT_LANES); results
+    must concatenate to exactly the unchunked output."""
+    args, mat = _mk(B=12, L=128, R=512, max_sub=2, seed=3, word=False)
+    want = pallas_sw.forward_shared_ref(*args, 3, 1, False, max_sub=2)
+    monkeypatch.setattr(pallas_sw, "OPT_LANES", 5 * 128)  # -> chunks of 8+4
+    got = pallas_sw.forward_shared_ref(*args, 3, 1, False, max_sub=2)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_i16_tier_selection():
     assert pallas_sw.i16_exact(256, 3, 1, 2, quirk=False)
     assert not pallas_sw.i16_exact(256, 3, 1, 2, quirk=True)
