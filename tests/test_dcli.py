@@ -40,6 +40,27 @@ def test_two_host_sam_matches_single(tmp_path):
         assert f.read() == want
 
 
+def test_mesh_sharded_host_matches_single(tmp_path):
+    """Config-5 proxy: a host with >1 local device routes the forward pass
+    through the (data x seq) mesh (align_batch_sharded with target sharding
+    + halo); output must stay byte-identical to the single-device CLI."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    target = os.path.join(DATA, "1k.fa")
+    query = os.path.join(DATA, "54mer_hap1_1.100.fastq")
+    want = _single(["-c", "-s", "-h", target, query])
+    prefix = str(tmp_path / "m")
+    _dcli(["align", "-c", "-s", "--header", "--num-hosts", "1",
+           "--host-id", "0", "--batch-size", "64", "--mesh-seq", "2",
+           "--out", prefix, target, query])
+    merged = str(tmp_path / "out.sam")
+    _dcli(["merge", "--out", merged, f"{prefix}.part0"])
+    with open(merged) as f:
+        assert f.read() == want
+
+
 def test_resume_after_partial_run(tmp_path):
     target = os.path.join(DATA, "1k.fa")
     query = os.path.join(DATA, "54mer_hap1_1.100.fastq")
