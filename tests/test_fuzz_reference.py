@@ -1,0 +1,107 @@
+"""Randomized byte-parity fuzzing against the reference binary.
+
+Builds `ssw_test` from the read-only reference mount (skips when the mount
+or toolchain is unavailable), generates random FASTA/FASTQ workloads across
+penalty settings and output modes, and requires byte-identical stdout.
+This extends the fixed golden suite with fresh inputs every run (seeded).
+"""
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+REF_SRC = "/root/reference/src"
+DATA = os.path.join(os.path.dirname(__file__), "data")
+BASES = "ACGT"
+
+
+@pytest.fixture(scope="module")
+def ref_binary(tmp_path_factory):
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference mount unavailable")
+    out = tmp_path_factory.mktemp("refbin") / "ssw_test"
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", str(out),
+         os.path.join(REF_SRC, "main.c"), os.path.join(REF_SRC, "ssw.c"),
+         "-lm", "-lz"], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"cannot build reference binary: {r.stderr[:200]}")
+    return str(out)
+
+
+def _write_fasta(path, records):
+    with open(path, "w") as f:
+        for name, seq in records:
+            f.write(f">{name}\n{seq}\n")
+
+
+def _write_fastq(path, records):
+    with open(path, "w") as f:
+        for name, seq in records:
+            f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def _random_workload(rng, tmp, tag):
+    ref_len = rng.randrange(80, 1200)
+    ref = "".join(rng.choice(BASES) for _ in range(ref_len))
+    reads = []
+    for i in range(rng.randrange(2, 8)):
+        ln = rng.randrange(12, min(200, ref_len + 40))
+        if rng.random() < 0.7:
+            start = rng.randrange(0, max(1, ref_len - ln))
+            r = list(ref[start:start + ln])
+            for _ in range(rng.randrange(0, max(1, ln // 8))):
+                p = rng.randrange(len(r))
+                if rng.random() < 0.5:
+                    r[p] = rng.choice(BASES)
+                elif len(r) > 2:
+                    del r[p]
+            read = "".join(r)
+        else:
+            read = "".join(rng.choice(BASES) for _ in range(ln))
+        if read:
+            reads.append((f"r{tag}_{i}", read))
+    t = os.path.join(tmp, f"t{tag}.fa")
+    q = os.path.join(tmp, f"q{tag}.fq")
+    _write_fasta(t, [(f"ref{tag}", ref)])
+    _write_fastq(q, reads)
+    return t, q
+
+
+def _run_ours(args):
+    import io
+    from ssw_tpu import cli
+    out, err = io.StringIO(), io.StringIO()
+    assert cli.main(args, out=out, err=err) == 0
+    return out.getvalue()
+
+
+def _run_ref(binary, args):
+    r = subprocess.run([binary] + args, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[:300]
+    return r.stdout
+
+
+OPTSETS = [
+    ["-c"],
+    ["-c", "-s", "-h"],
+    ["-m", "1", "-x", "3", "-o", "5", "-e", "2", "-c"],
+    ["-m", "3", "-x", "1", "-o", "2", "-e", "2", "-c", "-s", "-h"],
+    ["-r", "-c", "-s", "-h"],
+    ["-f", "30", "-c"],
+]
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
+    rng = random.Random(seed)
+    for k, opts in enumerate(OPTSETS):
+        t, q = _random_workload(rng, str(tmp_path), f"{seed}_{k}")
+        args = opts + [t, q]
+        ours = _run_ours(args)
+        ref = _run_ref(ref_binary, args)
+        assert ours == ref, f"stdout mismatch for {args}"
