@@ -105,3 +105,38 @@ def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
         ours = _run_ours(args)
         ref = _run_ref(ref_binary, args)
         assert ours == ref, f"stdout mismatch for {args}"
+
+
+AA = "ARNDCQEGHILKMFPSTWYV"
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_fuzz_protein_byte_parity(ref_binary, tmp_path, seed):
+    """Protein mode (-p, BLOSUM50 default): exercises the quirk path (the
+    lane-block E restriction is observable for min(mat) < -2*gapE)."""
+    rng = random.Random(seed)
+    for k, opts in enumerate((["-p", "-c"],
+                              ["-p", "-c", "-s", "-h"],
+                              ["-p", "-o", "10", "-e", "1", "-c"])):
+        ref_len = rng.randrange(60, 400)
+        ref = "".join(rng.choice(AA) for _ in range(ref_len))
+        reads = []
+        for i in range(rng.randrange(2, 5)):
+            ln = rng.randrange(10, 120)
+            if rng.random() < 0.7 and ref_len > ln:
+                start = rng.randrange(0, ref_len - ln)
+                r = list(ref[start:start + ln])
+                for _ in range(rng.randrange(0, max(1, ln // 6))):
+                    r[rng.randrange(len(r))] = rng.choice(AA)
+                reads.append((f"p{seed}_{i}", "".join(r)))
+            else:
+                reads.append((f"p{seed}_{i}",
+                              "".join(rng.choice(AA) for _ in range(ln))))
+        t = os.path.join(str(tmp_path), f"pt{seed}_{k}.fa")
+        q = os.path.join(str(tmp_path), f"pq{seed}_{k}.fq")
+        _write_fasta(t, [(f"pref{seed}", ref)])
+        _write_fastq(q, reads)
+        args = opts + [t, q]
+        ours = _run_ours(args)
+        ref_out = _run_ref(ref_binary, args)
+        assert ours == ref_out, f"stdout mismatch for {args}"
