@@ -206,35 +206,23 @@ class Aligner:
             a.query_begin = r.read_begin1
             a.query_end = r.read_end1
             a.ref_end_next_best = r.ref_end2
-            if r.cigar:
-                a.cigar, a.cigar_string = _convert_cigar(r, len(q))
-                a.mismatches, a.cigar, a.cigar_string = _mark_mismatches(
-                    a, t_ref, q, len(q), r.cigar)
+            # the reference AlignImpl runs CalculateNumberMismatch
+            # unconditionally (ref: src/ssw_cpp.cpp:346-348) and it rewrites
+            # cigar/cigar_string wholesale (ConvertAlignment's version is
+            # discarded), so even path-less results carry soft-clip-only
+            # cigar strings
+            a.mismatches, a.cigar, a.cigar_string = _mark_mismatches(
+                a, t_ref, q, len(q), r.cigar or [])
             flags.append(r.flag)
             als.append(a)
         return flags, als
 
 
-def _convert_cigar(r, query_len: int):
-    """ConvertAlignment's soft-clip wrapping (ref: src/ssw_cpp.cpp:52-87)."""
-    cigar = []
-    parts = []
-    if r.read_begin1 > 0:
-        cigar.append(to_cigar_int(r.read_begin1, "S"))
-        parts.append(f"{r.read_begin1}S")
-    for c in r.cigar:
-        cigar.append(c)
-        parts.append(f"{cigar_int_to_len(c)}{cigar_int_to_op(c)}")
-    end = query_len - r.read_end1 - 1
-    if end > 0:
-        cigar.append(to_cigar_int(end, "S"))
-        parts.append(f"{end}S")
-    return cigar, "".join(parts)
-
-
 def _mark_mismatches(a: Alignment, ref, query, query_len: int, raw_cigar):
     """CalculateNumberMismatch (ref: src/ssw_cpp.cpp:123-204): rewrite M
-    runs into '='/'X' and count NM (mismatches + indel bases)."""
+    runs into '='/'X', wrap in soft clips and count NM (mismatches + indel
+    bases).  Subsumes ConvertAlignment (ref: src/ssw_cpp.cpp:52-87), whose
+    output the reference discards by running this unconditionally after."""
     i = a.ref_begin
     j = a.query_begin
     nm = 0

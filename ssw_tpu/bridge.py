@@ -42,7 +42,8 @@ def _align_one(msg):
         int(msg["gap_open"]), int(msg["gap_extend"]), mat=mat,
         flag=int(msg.get("flag", 0x0F)),
         filters=int(msg.get("filter_score", 0)),
-        filterd=int(msg.get("filter_distance", 0)) or 2 ** 31 - 1,
+        filterd=(2 ** 31 - 1 if msg.get("filter_distance") is None
+                 else int(msg["filter_distance"])),
         mask_len=int(msg.get("mask_len", 15)),
         score_size=int(msg.get("score_size", 2)))
     if r is None:

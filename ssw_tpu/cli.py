@@ -176,11 +176,6 @@ def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
     pass runs data+sequence parallel (pipeline.align_batch_sharded)."""
     reads = [b["num"] for b in batch]
     mask_lens = [len(r) // 2 for r in reads]
-    for ml in mask_lens:
-        if ml < 15:
-            for _t in targets:
-                err.write("When maskLen < 15, the function ssw_align "
-                          "doesn't return 2nd best alignment information.\n")
     align = (pipeline.align_batch if mesh is None
              else lambda req: pipeline.align_batch_sharded(req, mesh))
     per_target = []
@@ -215,6 +210,12 @@ def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
 def _emit_pair(out, err, b, t, enc_t, result, result_rc, table, sam,
                filt, opts):
     rec = b["rec"]
+    if len(b["num"]) // 2 < 15:
+        # the reference prints this inside every ssw_align call (twice per
+        # pair with -r, before the pair's output — ref: src/ssw.c:876-878)
+        for _ in range(2 if result_rc is not None else 1):
+            err.write("When maskLen < 15, the function ssw_align doesn't "
+                      "return 2nd best alignment information.\n")
     if result is None:
         err.write("Warning: Alignment between the following sequences "
                   f"is failed.\nref_name: {t.name}\nread_name: "

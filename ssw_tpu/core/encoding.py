@@ -149,8 +149,7 @@ def parse_matrix_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     if m == 0 or not rows or any(len(r) != m for r in rows):
         # the reference only checks k == 0; we additionally require a square
         # matrix and surface the same error string for CLI parity
-        if m == 0:
-            raise ValueError("Problem of reading the weight matrix file.")
+        raise ValueError("Problem of reading the weight matrix file.")
     n = m
     flat = [v for r in rows for v in r]
     mat = np.array(flat, dtype=np.int8).reshape(n, n)

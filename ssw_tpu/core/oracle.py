@@ -310,9 +310,20 @@ def banded_sw(ref: np.ndarray, read: np.ndarray, score: int, gapO: int,
             # extension, so the scan sources reduce to max(e1, diag) of the
             # left neighbor (h_c[slot beg-1] == 0 supplies the row entry).
             h_nof = np.maximum(e1, diag)  # e1 >= 0 supplies the local clamp
-            k = np.arange(len(js), dtype=np.int64)
-            src = np.concatenate(([np.int64(-gapO)], h_nof[:-1] - gapO))
-            f = np.maximum.accumulate(src + k * gapE) - k * gapE
+            if gapO < gapE:
+                # shortcut invalid (opening from an f-sourced H can beat
+                # extension); run the exact scalar recurrence with full h
+                f = np.empty(len(js), dtype=np.int64)
+                f_run = np.int64(neg_inf)
+                h_prev = np.int64(0)       # h_c[beg-1] boundary
+                for k in range(len(js)):
+                    f_run = max(h_prev - gapO, f_run - gapE)
+                    f[k] = f_run
+                    h_prev = max(h_nof[k], max(f_run, 0))
+            else:
+                k = np.arange(len(js), dtype=np.int64)
+                src = np.concatenate(([np.int64(-gapO)], h_nof[:-1] - gapO))
+                f = np.maximum.accumulate(src + k * gapE) - k * gapE
             f1 = np.maximum(f, 0)
             h_row = np.maximum(h_nof, f1)
             # direction planes for f and h with exact C comparisons

@@ -113,6 +113,12 @@ def main(argv=None, out=None, err=None) -> int:
                 reverse=args.reverse, sam=sam, header=args.header,
                 mat_file=args.mat_file)
 
+    if args.reverse and n == 24:
+        # reference/cli parity (ref: src/main.c:482-491)
+        err.write("Reverse complement alignment is not available for "
+                  "protein sequences. \n")
+        return 1
+
     targets = read_fastx_all(args.target)
     enc_targets = [encode_with_table(t.seq, table) for t in targets]
     rc_allowed = args.reverse and n == 5

@@ -288,7 +288,8 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         end_read = jnp.min(cand, axis=1)
         end_read = jnp.where(end_read == L, rl - 1, end_read)
         outs.append((gmax[:, 0], end_ref[:, 0], end_read,
-                     maxcol[:, :R].astype(jnp.uint16)))
+                     # reference word-kernel saturation point (adds_epi16)
+                     jnp.minimum(maxcol[:, :R], 32767).astype(jnp.uint16)))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)

@@ -101,7 +101,9 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         state, colmax = _column_update(sub, state, gapO, gapE, decay,
                                        seg_bias, seg_reset, col_mask,
                                        col_idx, quirk)
-        return state, colmax.astype(jnp.uint16)
+        # clamp at the reference word kernel's saturation point before the
+        # uint16 narrowing (ref: _mm_adds_epi16 saturates at 32767)
+        return state, jnp.minimum(colmax, 32767).astype(jnp.uint16)
 
     R = ref.shape[0]
     idxs = jnp.arange(R, dtype=jnp.int32)
@@ -112,25 +114,38 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))
 def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
-                        gapO: int, gapE: int, quirk: bool = True):
+                        gapO: int, gapE: int, quirk: bool = True,
+                        terminate=None):
     """Forward pass where every read has its own reference window (B, W);
-    used by the begin-finding reverse pass.  No max_column output."""
+    used by the begin-finding reverse pass.  No max_column output.
+
+    terminate: optional (B,) int32 — stop recording new best hits after the
+    column whose masked max equals the value (the reference kernels break
+    out of the column loop there, ref: src/ssw.c:339-341), so the returned
+    best is the best up to and including that column.  -1 disables.
+    """
     B, _, L = profile.shape
     decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
     seg_bias = seg_id * SEG_BUMP
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = seg_start | (seg_prev != seg_id)
+    if terminate is None:
+        terminate = jnp.full((B,), -1, jnp.int32)
 
-    def step(state, xs):
+    def step(carry, xs):
+        state, done = carry
         codes, col_idx = xs  # codes: (B,)
         sub = jnp.take_along_axis(profile, codes[:, None, None], axis=1)[:, 0, :]
-        state, _ = _column_update(sub, state, gapO, gapE, decay, seg_bias,
-                                  seg_reset, col_mask, col_idx, quirk)
-        return state, None
+        state, colmax = _column_update(sub, state, gapO, gapE, decay,
+                                       seg_bias, seg_reset, col_mask,
+                                       col_idx, quirk, gate=~done)
+        done = done | (colmax == terminate)
+        return (state, done), None
 
     W = refw.shape[1]
     idxs = jnp.arange(W, dtype=jnp.int32)
-    state, _ = jax.lax.scan(step, _init_state(B, L), (refw.T, idxs))
+    (state, _), _ = jax.lax.scan(
+        step, (_init_state(B, L), jnp.zeros((B,), bool)), (refw.T, idxs))
     return _finalize(state, read_len, L)
 
 
@@ -177,7 +192,7 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
         state, colmax = _column_update(sub, state, gapO, gapE, decay,
                                        seg_bias, seg_reset, col_mask,
                                        col_idx, quirk, gate)
-        return state, colmax.astype(jnp.uint16)
+        return state, jnp.minimum(colmax, 32767).astype(jnp.uint16)
 
     state, max_column = jax.lax.scan(step, _init_state(B, L),
                                      (ref, idxs, owned))

@@ -140,17 +140,21 @@ def run_sharded(records: Iterable, plan: ShardPlan,
 
 def merge_shards(shard_paths: Sequence[str], out_stream) -> int:
     """Re-assemble per-host shard files into the global read order.
-    Returns the number of records written."""
-    entries: list[tuple[int, str]] = []
+    Returns the number of records written.
+
+    Deduplicates by global index keeping the LAST occurrence: a crash after
+    a batch's lines were appended but before its journal mark makes the
+    resumed run re-append that batch, and the re-run lines supersede the
+    (possibly truncated) first write."""
+    latest: dict[int, str] = {}
     for p in shard_paths:
         with open(p) as f:
             for line in f:
                 d = json.loads(line)
-                entries.append((d["i"], d["s"]))
-    entries.sort(key=lambda t: t[0])
+                latest[d["i"]] = d["s"]
     n = 0
-    for _, s in entries:
-        if s:
-            out_stream.write(s)
+    for i in sorted(latest):
+        if latest[i]:
+            out_stream.write(latest[i])
         n += 1
     return n

@@ -21,6 +21,7 @@ is lossy there; see core/oracle.py).
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 
 import jax
@@ -138,8 +139,12 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
 
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
-    geo = common.batch_geometry(read_len, L, word=word_tier)
     max_sub = int(np.max(np.abs(req.mat)))
+    if quirk and L * (max_sub + req.gapE) + req.gapO >= int(scan_sw.SEG_BUMP):
+        # the segmented-scan bias that reproduces the lane-block E quirk
+        # needs value headroom; beyond it, route to the exact oracle
+        return pipeline_fallback(req)
+    geo = common.batch_geometry(read_len, L, word=word_tier)
     score, end_ref, end_read, max_col = _forward(
         jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
         backend, max_sub)
@@ -163,6 +168,10 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             max_col = np.array(max_col)
             max_col[idx, :] = np.asarray(mc_w)
             word[idx] = True
+    # the reference word kernel saturates at 32767 (_mm_adds_epi16); clamp
+    # word-tier scores to its ceiling (positions beyond saturation are
+    # undefined in the reference too)
+    score = np.where(word, np.minimum(score, 32767), score)
 
     null_mask = np.zeros(B, dtype=bool)
     if req.score_size == 0:
@@ -205,6 +214,7 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
 
     ref_begin = np.full(B, -1, dtype=np.int32)
     read_begin = np.full(B, -1, dtype=np.int32)
+    miss_part = np.zeros(B, dtype=bool)
     for tier in (False, True):  # reverse tier must match the forward tier
         sel = want_begin & (word == tier)
         if not sel.any():
@@ -212,10 +222,16 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
         idx = np.nonzero(sel)[0]
         W = _window_len(int((end_read[idx] + 1).max()), ref_len, req.mat,
                         req.gapO, req.gapE)
-        rb, qb = _reverse_pass(req, idx, end_ref, end_read, W, mat_ext,
-                               tier, backend)
+        rb, qb, rev_score = _reverse_pass(req, idx, end_ref, end_read,
+                                          score, W, mat_ext, tier, backend)
         ref_begin[idx] = rb
         read_begin[idx] = qb
+        # ref: src/ssw.c:932-935 — the banded traceback will miss a part
+        miss_part[idx] = score[idx] > rev_score
+    for _ in range(int(miss_part.sum())):
+        sys.stderr.write("Warning: The alignment path of one pair of "
+                         "sequences may miss a small part. "
+                         "[ssw.c ssw_align]\n")
 
     for b in range(B):
         if null_mask[b]:
@@ -236,6 +252,8 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
         if want_begin[b]:
             r.ref_begin1 = int(ref_begin[b])
             r.read_begin1 = int(read_begin[b])
+            if miss_part[b]:
+                r.flag = 2
         do_cigar = want_cigar[b]
         if do_cigar and (f & 4):
             if (r.ref_end1 - r.ref_begin1 > req.filterd or
@@ -278,6 +296,9 @@ def align_batch_sharded(req: BatchRequest, mesh) -> list:
     profile = common.build_profile(reads_padded, read_len, mat_ext)
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
+    max_sub = int(np.max(np.abs(req.mat)))
+    if quirk and L * (max_sub + req.gapE) + req.gapO >= int(scan_sw.SEG_BUMP):
+        return pipeline_fallback(req)
     geo = common.batch_geometry(read_len, L, word=word_tier)
 
     # pad the target so every seq shard gets the same column count; the
@@ -318,6 +339,7 @@ def align_batch_sharded(req: BatchRequest, mesh) -> list:
             score2[idx] = s2_w[idx]
             ref_end2[idx] = re2_w[idx]
             word[idx] = True
+    score = np.where(word, np.minimum(score, 32767), score)
 
     req_full = BatchRequest(
         reads=reads, ref=req.ref, mat=req.mat, gapO=req.gapO, gapE=req.gapE,
@@ -343,8 +365,10 @@ def pipeline_fallback(req: BatchRequest) -> list:
 
 
 def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
-                  W: int, mat_ext, tier_word: bool, backend):
-    """Batched begin-finding pass over reversed prefixes (static window W)."""
+                  score1, W: int, mat_ext, tier_word: bool, backend):
+    """Batched begin-finding pass over reversed prefixes (static window W)
+    with the reference's terminate-at-score1 column-loop break
+    (ref: src/ssw.c:918-930).  Returns begins and the reverse scores."""
     n = req.mat.shape[0]
     Bs = len(idx)
     rl_rev = (end_read[idx] + 1).astype(np.int32)
@@ -366,12 +390,14 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
         jnp.asarray(profile), jnp.asarray(refw), jnp.asarray(rl_rev),
         jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
         jnp.asarray(geo.seg_start), req.gapO, req.gapE,
-        needs_quirk(req.mat, req.gapE))
+        needs_quirk(req.mat, req.gapE),
+        terminate=jnp.asarray(score1[idx], dtype=jnp.int32))
     er = np.asarray(er)
     ed = np.asarray(ed)
     ref_begin = end_ref[idx] - er
     read_begin = end_read[idx] - ed
-    return ref_begin.astype(np.int32), read_begin.astype(np.int32)
+    return (ref_begin.astype(np.int32), read_begin.astype(np.int32),
+            np.asarray(s))
 
 
 def attach_cigar(r: oracle.AlignResult, read: np.ndarray, ref: np.ndarray,

@@ -243,10 +243,6 @@ def _run(args, p: Py2Printer, err):
 
     per_target = []
     for enc_t in enc_targets:
-        for ml in mask_lens:
-            if ml < 15:
-                err.write("When maskLen < 15, the function ssw_align doesn't "
-                          "return 2nd best alignment information.\n")
         req = pipeline.BatchRequest(
             reads=enc_q, ref=enc_t, mat=mat, gapO=args.nOpen, gapE=args.nExt,
             flag=flag, filters=0, filterd=0, mask_len=mask_lens,
@@ -263,6 +259,13 @@ def _run(args, p: Py2Printer, err):
 
     for qi, (qid, qseq, qqual) in enumerate(queries):
         for ti, (rid, rseq) in enumerate(targets):
+            if mask_lens[qi] < 15:
+                # printed by the C library inside each ssw_align call
+                # (1 + rc per pair, ref: src/ssw.c:876-878)
+                for _ in range(2 if do_rc else 1):
+                    err.write("When maskLen < 15, the function ssw_align "
+                              "doesn't return 2nd best alignment "
+                              "information.\n")
             res_l, res_rc_l = per_target[ti]
             r = res_l[qi]
             r_rc = res_rc_l[qi] if res_rc_l else None

@@ -71,19 +71,29 @@ def _random_workload(rng, tmp, tag):
     return t, q
 
 
+def _strip_volatile(stderr_text):
+    """stderr lines minus the timing line, as a multiset (batching reorders
+    warnings relative to the reference's strictly interleaved emission)."""
+    return sorted(l for l in stderr_text.splitlines()
+                  if l and not l.startswith("CPU time:"))
+
+
 def _run_ours(args):
+    import contextlib
     import io
     from ssw_tpu import cli
     out, err = io.StringIO(), io.StringIO()
-    assert cli.main(args, out=out, err=err) == 0
-    return out.getvalue()
+    with contextlib.redirect_stderr(err):  # catches library-level warnings
+        rc = cli.main(args, out=out, err=err)
+    assert rc == 0
+    return out.getvalue(), _strip_volatile(err.getvalue())
 
 
 def _run_ref(binary, args):
     r = subprocess.run([binary] + args, capture_output=True, text=True,
                        timeout=300)
     assert r.returncode == 0, r.stderr[:300]
-    return r.stdout
+    return r.stdout, _strip_volatile(r.stderr)
 
 
 OPTSETS = [
@@ -102,9 +112,10 @@ def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
     for k, opts in enumerate(OPTSETS):
         t, q = _random_workload(rng, str(tmp_path), f"{seed}_{k}")
         args = opts + [t, q]
-        ours = _run_ours(args)
-        ref = _run_ref(ref_binary, args)
+        ours, ours_err = _run_ours(args)
+        ref, ref_err = _run_ref(ref_binary, args)
         assert ours == ref, f"stdout mismatch for {args}"
+        assert ours_err == ref_err, f"stderr mismatch for {args}"
 
 
 AA = "ARNDCQEGHILKMFPSTWYV"
@@ -137,6 +148,7 @@ def test_fuzz_protein_byte_parity(ref_binary, tmp_path, seed):
         _write_fasta(t, [(f"pref{seed}", ref)])
         _write_fastq(q, reads)
         args = opts + [t, q]
-        ours = _run_ours(args)
-        ref_out = _run_ref(ref_binary, args)
+        ours, ours_err = _run_ours(args)
+        ref_out, ref_err = _run_ref(ref_binary, args)
         assert ours == ref_out, f"stdout mismatch for {args}"
+        assert ours_err == ref_err, f"stderr mismatch for {args}"

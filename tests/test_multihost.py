@@ -78,6 +78,36 @@ def test_resume_skips_completed_batches(tmp_path):
     assert buf.getvalue() == "".join(f"r{i}\n" for i in range(8))
 
 
+def test_crash_between_write_and_journal_no_duplicates(tmp_path, monkeypatch):
+    """Crash after a batch's lines hit the shard but before the journal
+    mark: the resumed run re-appends that batch and merge must keep only
+    the last copy of each index."""
+    recs = [f"r{i}" for i in range(8)]
+    plan = multihost.ShardPlan(num_hosts=1, host_id=0, batch_size=4)
+    shard = str(tmp_path / "s")
+    journal = str(tmp_path / "j")
+
+    real_mark = multihost.Journal.mark
+
+    def crashing_mark(self, batch, n):
+        if batch == 1:
+            raise RuntimeError("simulated crash after write, before mark")
+        return real_mark(self, batch, n)
+
+    monkeypatch.setattr(multihost.Journal, "mark", crashing_mark)
+    try:
+        multihost.run_sharded(recs, plan, lambda o: [r + "\n" for r in o],
+                              shard, journal)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(multihost.Journal, "mark", real_mark)
+    multihost.run_sharded(recs, plan, lambda o: [r + "\n" for r in o],
+                          shard, journal)
+    buf = io.StringIO()
+    assert multihost.merge_shards([shard], buf) == 8
+    assert buf.getvalue() == "".join(f"r{i}\n" for i in range(8))
+
+
 def test_empty_line_suppression(tmp_path):
     recs = ["a", "b"]
     plan = multihost.ShardPlan(num_hosts=1, host_id=0, batch_size=8)
