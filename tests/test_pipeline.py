@@ -49,6 +49,34 @@ def test_batch_matches_oracle_random():
         assert _result_tuple(r) == _result_tuple(want)
 
 
+def test_batch_matches_oracle_protein_quirk():
+    """Random protein pairs on BLOSUM50 (quirk path: min(mat) < -2*gapE),
+    full field compare incl. flag and cigar."""
+    from ssw_tpu.core.encoding import BLOSUM50
+    rng = np.random.default_rng(13)
+    ref = rng.integers(0, 20, 180).astype(np.int8)
+    reads = []
+    for k in range(12):
+        ln = int(rng.integers(12, 80))
+        if k % 3:
+            off = int(rng.integers(0, 180 - ln))
+            r = ref[off:off + ln].copy()
+            muts = rng.random(ln) < 0.2
+            r[muts] = rng.integers(0, 20, muts.sum())
+        else:
+            r = rng.integers(0, 20, ln).astype(np.int8)
+        reads.append(r)
+    req = pipeline.BatchRequest(reads=reads, ref=ref, mat=BLOSUM50, gapO=3,
+                                gapE=1, flag=0x0F,
+                                mask_len=[max(len(r) // 2, 15)
+                                          for r in reads])
+    got = pipeline.align_batch(req, backend="scan")
+    for r, read in zip(got, reads):
+        want = oracle.ssw_align(read, ref, BLOSUM50, 3, 1, flag=0x0F,
+                                mask_len=max(len(read) // 2, 15))
+        assert _result_tuple(r) == _result_tuple(want)
+
+
 def _load_vector_subsample():
     with open(VEC_PATH) as f:
         vs = [json.loads(line) for line in f if line.strip()]
