@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
     flag = 2 if opts["path"] else 0
     filt = opts["filter"]
 
-    batch_size = 512
+    batch_size = 2048
     batch: list = []
 
     def flush_batch():

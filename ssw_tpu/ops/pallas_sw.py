@@ -273,23 +273,40 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     outs = []
     for lo in range(0, B, b_opt):
         hi = min(lo + b_opt, B)
-        prof = jnp.transpose(profile[lo:hi], (1, 0, 2))
+        Bc = hi - lo
+        # pad partial chunks up to a multiple of 64 rows so the set of
+        # compiled kernel shapes stays small across varying batch sizes
+        Bp = min(b_opt, (Bc + 63) // 64 * 64)
+        pad = Bp - Bc
+
+        def take(arr, fill):
+            part = arr[lo:hi].astype(jnp.int32)
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.full((pad,) + part.shape[1:], fill,
+                                    jnp.int32)])
+            return part
+
+        prof = profile[lo:hi]
+        if pad:
+            prof = jnp.concatenate(
+                [prof, jnp.zeros((pad,) + prof.shape[1:], prof.dtype)])
         maxcol, gmax, end_ref, h_best = _forward_call(
-            prof, ref_blocks, col_mask[lo:hi].astype(jnp.int32),
-            seg_id[lo:hi].astype(jnp.int32),
-            seg_start[lo:hi].astype(jnp.int32),
+            jnp.transpose(prof, (1, 0, 2)), ref_blocks, take(col_mask, 0),
+            take(seg_id, 0), take(seg_start, 1),
             gapO, gapE, quirk, use_i16, interpret)
-        # finalize like the scan path
+        # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
-        hit = ((h_best.astype(jnp.int32) == gmax) & (j < rl[:, None])
+        gmax = gmax[:Bc]
+        hit = ((h_best[:Bc].astype(jnp.int32) == gmax) & (j < rl[:, None])
                & (gmax > 0))
         cand = jnp.where(hit, j, L)
         end_read = jnp.min(cand, axis=1)
         end_read = jnp.where(end_read == L, rl - 1, end_read)
-        outs.append((gmax[:, 0], end_ref[:, 0], end_read,
+        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read,
                      # reference word-kernel saturation point (adds_epi16)
-                     jnp.minimum(maxcol[:, :R], 32767).astype(jnp.uint16)))
+                     jnp.minimum(maxcol[:Bc, :R], 32767).astype(jnp.uint16)))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)

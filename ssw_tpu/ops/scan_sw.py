@@ -149,12 +149,15 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
     return _finalize(state, read_len, L)
 
 
+@functools.partial(jax.jit, static_argnames=("ref_len",))
 def second_best_batch(max_column, end_ref, mask_len, ref_len, word_mask):
     """Vectorized suboptimal-score scan (ref: src/ssw.c:368-381, 570-583).
 
     max_column: (B, R) uint16 (R may include bucket padding past ref_len);
     word_mask: (B,) bool selecting the word-tier window edge semantics.
-    Returns (score2 (B,), ref_end2 (B,)).
+    Returns (score2 (B,), ref_end2 (B,)).  Jitted so the (B, R)-sized
+    masks/temporaries fuse into a streaming reduction — materialized they
+    are several GB for chromosome-scale targets.
     """
     mc = max_column.astype(jnp.int32)  # (B, R)
     B, R = mc.shape

@@ -65,6 +65,34 @@ def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
     return common.bucket_size(int(min(w, ref_len)), 64)
 
 
+MIN_BUCKET = 64   # reads per length bucket before it earns its own shape
+MAXCOL_BUDGET = 2 << 30  # bytes of per-column maxima per forward pass
+
+
+def _length_groups(Ls: list[int]) -> list[list[int]]:
+    """Group read indices by length bucket, merging under-populated buckets
+    into the next-larger one: every compiled kernel shape costs far more
+    than the padding it saves unless enough reads amortize it.  Ascending
+    walk; a group's L is the largest bucket it absorbed, so every read
+    fits."""
+    order = sorted(set(Ls))
+    if len(order) <= 1:
+        return [list(range(len(Ls)))]
+    by_bucket = {L: [] for L in order}
+    for i, l in enumerate(Ls):
+        by_bucket[l].append(i)
+    groups: list[list[int]] = []
+    carry: list[int] = []
+    for L in order:
+        carry += by_bucket[L]
+        if len(carry) >= MIN_BUCKET:
+            groups.append(carry)
+            carry = []
+    if carry:
+        groups.append(carry)
+    return groups
+
+
 def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
     """The lane-block E quirk is observable only when an adjacent
     insertion+deletion can beat the substitution it replaces, i.e. when
@@ -123,6 +151,60 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         # bug-compatible slow path (see module docstring)
         return pipeline_fallback(req)
 
+    # length-bucket heterogeneous batches: one max-length L for everything
+    # would pad every short read to the longest (the reference's benchmark
+    # workload mixes 25-540bp reads); buckets re-enter with a uniform L
+    Ls = [common.bucket_size(max(common.pad_total(len(r), False), 1), 64)
+          for r in req.reads]  # byte-tier rows >= word-tier rows, so the
+    # byte bucket bound covers both tiers (same L reused on word rerun)
+    groups = _length_groups(Ls)
+    if len(groups) > 1:
+        mask_all = _as_masklen_array(req.mask_len, B)
+        results: list = [None] * B
+        for idx in groups:
+            sub = BatchRequest(
+                reads=[req.reads[i] for i in idx], ref=req.ref, mat=req.mat,
+                gapO=req.gapO, gapE=req.gapE, flag=req.flag,
+                filters=req.filters, filterd=req.filterd,
+                mask_len=[int(mask_all[i]) for i in idx],
+                score_size=req.score_size)
+            for i, r in zip(idx, align_batch(sub, backend)):
+                results[i] = r
+        return results
+
+    # cap the per-column-maxima footprint: maxcol is (B, Rp) uint16 and the
+    # word rerun + concat can hold ~3 copies, so bound B for huge targets
+    # (5 Mbp at B=512 would peak ~16 GB of HBM)
+    Rp_est = common.bucket_size(ref_len, 256)
+    b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+    if B > b_mem:
+        results = []
+        for lo in range(0, B, b_mem):
+            sub = BatchRequest(
+                reads=req.reads[lo:lo + b_mem], ref=req.ref, mat=req.mat,
+                gapO=req.gapO, gapE=req.gapE, flag=req.flag,
+                filters=req.filters, filterd=req.filterd,
+                mask_len=list(_as_masklen_array(req.mask_len,
+                                                B))[lo:lo + b_mem],
+                score_size=req.score_size)
+            results.extend(align_batch(sub, backend))
+        return results
+
+    # pad the batch dimension to a multiple of 64 (duplicates of read 0,
+    # results sliced away) so the compiled-shape set stays small across
+    # arbitrary batch sizes — shape churn otherwise dominates wall time
+    Braw = B
+    Bpad = common.round_up(B, 64) if backend == "pallas" else B
+    if Bpad != B:
+        mask_all = _as_masklen_array(req.mask_len, B)
+        req = BatchRequest(
+            reads=list(req.reads) + [req.reads[0]] * (Bpad - B),
+            ref=req.ref, mat=req.mat, gapO=req.gapO, gapE=req.gapE,
+            flag=req.flag, filters=req.filters, filterd=req.filterd,
+            mask_len=list(mask_all) + [15] * (Bpad - B),
+            score_size=req.score_size)
+        return align_batch(req, backend)[:Braw]
+
     read_len = np.array([len(r) for r in req.reads], dtype=np.int32)
     max_rl = int(read_len.max())
     L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
@@ -153,21 +235,30 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     end_read = np.array(end_read)
 
     word = np.full(B, word_tier)
+    word_sub = None  # (idx, padded suboptimal inputs) from the word rerun
     if req.score_size == 2:
         need_word = score + bias >= 255
         if need_word.any():
             idx = np.nonzero(need_word)[0]
-            geo_w = common.batch_geometry(read_len[idx], L, word=True)
-            prof_w = profile[idx]
+            k = len(idx)
+            idx_p = idx
+            if backend == "pallas":  # stable compile shapes (see above)
+                pad = common.round_up(k, 64) - k
+                idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+            geo_w = common.batch_geometry(read_len[idx_p], L, word=True)
+            prof_w = profile[idx_p]
             s_w, er_w, ed_w, mc_w = _forward(
                 jnp.asarray(prof_w), ref_codes, geo_w, req.gapO, req.gapE,
                 quirk, backend, max_sub)
-            score[idx] = np.asarray(s_w)
-            end_ref[idx] = np.asarray(er_w)
-            end_read[idx] = np.asarray(ed_w)
-            max_col = np.array(max_col)
-            max_col[idx, :] = np.asarray(mc_w)
+            score[idx] = np.asarray(s_w)[:k]
+            end_ref[idx] = np.asarray(er_w)[:k]
+            end_read[idx] = np.asarray(ed_w)[:k]
             word[idx] = True
+            # the word tier's suboptimal scan runs directly on the rerun's
+            # per-column maxima: splicing them into the byte-tier (B, R)
+            # array would double a multi-GB buffer for long targets
+            word_sub = (idx, k, er_w, mc_w,
+                        jnp.asarray(mask_len[idx_p]))
     # the reference word kernel saturates at 32767 (_mm_adds_epi16); clamp
     # word-tier scores to its ceiling (positions beyond saturation are
     # undefined in the reference too)
@@ -181,8 +272,15 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     score2, ref_end2 = scan_sw.second_best_batch(
         jnp.asarray(max_col), jnp.asarray(end_ref),
         jnp.asarray(mask_len), ref_len, jnp.asarray(word))
-    score2 = np.asarray(score2)
-    ref_end2 = np.asarray(ref_end2)
+    score2 = np.array(score2)
+    ref_end2 = np.array(ref_end2)
+    if word_sub is not None:
+        idx, k, er_w, mc_w, ml_w = word_sub
+        s2_w, re2_w = scan_sw.second_best_batch(
+            mc_w, er_w, ml_w, ref_len,
+            jnp.ones(mc_w.shape[0], bool))
+        score2[idx] = np.asarray(s2_w)[:k]
+        ref_end2[idx] = np.asarray(re2_w)[:k]
 
     return _finish_batch(req, score, end_ref, end_read, score2, ref_end2,
                          word, null_mask, mat_ext, backend)
@@ -371,17 +469,22 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
     (ref: src/ssw.c:918-930).  Returns begins and the reverse scores."""
     n = req.mat.shape[0]
     Bs = len(idx)
-    rl_rev = (end_read[idx] + 1).astype(np.int32)
+    idx_p = idx
+    if backend == "pallas":  # stable compile shapes (see align_batch)
+        pad = common.round_up(Bs, 64) - Bs
+        idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+    Bp = len(idx_p)
+    rl_rev = (end_read[idx_p] + 1).astype(np.int32)
     L = common.bucket_size(
         int(common.pad_total(int(rl_rev.max()), word=tier_word)), 64)
-    rev_reads = np.full((Bs, L), n, dtype=np.int32)
-    for k, b in enumerate(idx):
+    rev_reads = np.full((Bp, L), n, dtype=np.int32)
+    for k, b in enumerate(idx_p):
         rev_reads[k, : rl_rev[k]] = req.reads[b][end_read[b]::-1]
     profile = common.build_profile(rev_reads, rl_rev, mat_ext)
     # per-read reversed reference windows; out-of-range -> virtual letter
-    refw = np.full((Bs, W), n, dtype=np.int32)
+    refw = np.full((Bp, W), n, dtype=np.int32)
     ref_arr = np.asarray(req.ref, dtype=np.int32)
-    for k, b in enumerate(idx):
+    for k, b in enumerate(idx_p):
         e = int(end_ref[b])
         m = min(W, e + 1)
         refw[k, :m] = ref_arr[e::-1][:m]
@@ -391,13 +494,13 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
         jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
         jnp.asarray(geo.seg_start), req.gapO, req.gapE,
         needs_quirk(req.mat, req.gapE),
-        terminate=jnp.asarray(score1[idx], dtype=jnp.int32))
-    er = np.asarray(er)
-    ed = np.asarray(ed)
+        terminate=jnp.asarray(score1[idx_p], dtype=jnp.int32))
+    er = np.asarray(er)[:Bs]
+    ed = np.asarray(ed)[:Bs]
     ref_begin = end_ref[idx] - er
     read_begin = end_read[idx] - ed
     return (ref_begin.astype(np.int32), read_begin.astype(np.int32),
-            np.asarray(s))
+            np.asarray(s)[:Bs])
 
 
 def attach_cigar(r: oracle.AlignResult, read: np.ndarray, ref: np.ndarray,

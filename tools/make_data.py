@@ -96,12 +96,34 @@ def make_reads(out: str, genome: bytes, n_reads: int = 100_000,
             f.write(rd.tobytes() + b"\n+\n" + qual_line + b"\n")
 
 
+def make_iontorrent(out_ref: str, out_fq: str):
+    """The reference README's headline workload (README.md:66-71): 1000 Ion
+    Torrent reads, 25-540bp (most ~200bp), vs a 4,938,920bp genome."""
+    rng = np.random.default_rng(4_938_920)
+    genome = rng.choice(BASES, 4_938_920).astype(np.uint8)
+    write_fasta(out_ref, "ecoli_synth\t4938920bp", genome.tobytes())
+    with open(out_fq, "wb") as f:
+        for i in range(1000):
+            ln = int(np.clip(rng.normal(200, 80), 25, 540))
+            pos = int(rng.integers(0, len(genome) - ln))
+            rd = genome[pos:pos + ln].copy()
+            m = rng.random(ln) < 0.01
+            if m.any():
+                rd[m] = rng.choice(BASES, int(m.sum()))
+            f.write(b"@ion_%d_%d\n" % (i, pos))
+            f.write(rd.tobytes() + b"\n+\n" + b"I" * ln + b"\n")
+
+
 def main(outdir: str):
     os.makedirs(outdir, exist_ok=True)
     base = load_fasta_seq(ONE_M)
     ten_m_path = os.path.join(outdir, "10M.fa")
     fq_path = os.path.join(outdir, "100k_illumina1.fastq.gz")
     ref_path = os.path.join(outdir, "ref.fa")
+    ion_ref = os.path.join(outdir, "ecoli_synth.fa")
+    ion_fq = os.path.join(outdir, "iontorrent_1k.fastq")
+    if not (os.path.exists(ion_ref) and os.path.exists(ion_fq)):
+        make_iontorrent(ion_ref, ion_fq)
     if not os.path.exists(ten_m_path):
         seq = make_10m(ten_m_path, base)
     else:
