@@ -70,6 +70,8 @@ def _prefix_max(x, L, neg, bound=None):
 
 
 def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
+                    idx_ref,           # SMEM (1, 1, COL_BLOCK) global col idx
+                    own_ref,           # SMEM (1, 1, COL_BLOCK) 0/1 best gate
                     profile_ref,       # VMEM (n1, B, L) dt
                     dmg_ref,           # VMEM (B, L) dt: decay - gapO
                     gmd_ref,           # VMEM (B, L) dt: gapE - decay
@@ -139,9 +141,9 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         maxcol_ref[...] = jnp.where(lane == j, colmax.astype(dt),
                                     maxcol_ref[...])
         gmax = gmax_ref[...]
-        upd = colmax > gmax
+        upd = (colmax > gmax) & (own_ref[0, 0, j] > 0)
         gmax_ref[...] = jnp.where(upd, colmax, gmax)
-        end_ref_ref[...] = jnp.where(upd, block * COL_BLOCK + j,
+        end_ref_ref[...] = jnp.where(upd, idx_ref[0, 0, j],
                                      end_ref_ref[...])
         h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
       return 0
@@ -151,9 +153,10 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
                                               "use_i16", "interpret"))
-def _forward_call(profile, ref_blocks, col_mask, seg_id, seg_start,
-                  gapO: int, gapE: int, quirk: bool = True,
-                  use_i16: bool = False, interpret: bool = False):
+def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
+                  seg_id, seg_start, gapO: int, gapE: int,
+                  quirk: bool = True, use_i16: bool = False,
+                  interpret: bool = False):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
@@ -179,6 +182,10 @@ def _forward_call(profile, ref_blocks, col_mask, seg_id, seg_start,
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
+            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n1, B, L), lambda i: (0, 0, 0),
@@ -208,7 +215,8 @@ def _forward_call(profile, ref_blocks, col_mask, seg_id, seg_start,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(ref_blocks, profile.astype(dt), dmg, gmd, maskneg, seg_bias, seg_reset)
+    )(ref_blocks, idx_blocks, own_blocks, profile.astype(dt), dmg, gmd,
+      maskneg, seg_bias, seg_reset)
     return maxcol, gmax, end_ref, h_best
 
 
@@ -271,6 +279,8 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
     ref_padded = jnp.full((Rp,), n1 - 1, dtype=jnp.int32).at[:R].set(ref)
     ref_blocks = ref_padded.reshape(Rp // COL_BLOCK, 1, COL_BLOCK)
+    idx_blocks = jnp.arange(Rp, dtype=jnp.int32).reshape(ref_blocks.shape)
+    own_blocks = jnp.ones(ref_blocks.shape, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
 
@@ -297,9 +307,9 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
             prof = jnp.concatenate(
                 [prof, jnp.zeros((pad,) + prof.shape[1:], prof.dtype)])
         maxcol, gmax, end_ref, h_best = _forward_call(
-            jnp.transpose(prof, (1, 0, 2)), ref_blocks, take(col_mask, 0),
-            take(seg_id, 0), take(seg_start, 1),
-            gapO, gapE, quirk, use_i16, interpret)
+            jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
+            own_blocks, take(col_mask, 0), take(seg_id, 0),
+            take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret)
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
@@ -316,3 +326,40 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
                  for k in range(4))
+
+
+def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
+                             seg_id, seg_start, gapO: int, gapE: int,
+                             quirk: bool = True, max_sub: int | None = None):
+    """Pallas equivalent of scan_sw.forward_shared_ref_gated: per-column
+    global indices + an `owned` gate on best-hit tracking, used by the
+    sequence-parallel shards whose halo warm-up columns are inexact
+    (parallel/dist.py).  Per-column maxima are emitted for every local
+    column; the caller slices the owned range."""
+    B, n1, L = profile.shape
+    R = ref.shape[0]
+    Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
+    pad = Rp - R
+    ref_blocks = jnp.concatenate(
+        [ref.astype(jnp.int32),
+         jnp.full((pad,), n1 - 1, jnp.int32)]).reshape(-1, 1, COL_BLOCK)
+    idx_blocks = jnp.concatenate(
+        [idxs.astype(jnp.int32),
+         jnp.full((pad,), -1, jnp.int32)]).reshape(-1, 1, COL_BLOCK)
+    own_blocks = jnp.concatenate(
+        [owned.astype(jnp.int32),
+         jnp.zeros((pad,), jnp.int32)]).reshape(-1, 1, COL_BLOCK)
+    interpret = jax.devices()[0].platform == "cpu"
+    use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
+    maxcol, gmax, end_ref, h_best = _forward_call(
+        jnp.transpose(profile, (1, 0, 2)), ref_blocks, idx_blocks,
+        own_blocks, col_mask.astype(jnp.int32), seg_id.astype(jnp.int32),
+        seg_start.astype(jnp.int32), gapO, gapE, quirk, use_i16, interpret)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    hit = ((h_best.astype(jnp.int32) == gmax) & (j < read_len[:, None])
+           & (gmax > 0))
+    cand = jnp.where(hit, j, L)
+    end_read = jnp.min(cand, axis=1)
+    end_read = jnp.where(end_read == L, read_len - 1, end_read)
+    return (gmax[:, 0], end_ref[:, 0], end_read,
+            jnp.minimum(maxcol[:, :R], 32767).astype(jnp.uint16))

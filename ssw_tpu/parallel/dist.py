@@ -47,9 +47,22 @@ def _merge_best(score_g, idx_g):
     return best, idx_best, row
 
 
+def _gated_forward(backend, prof, ref_loc, idxs, owned, rlen, cmask, sid,
+                   sstart, gapO, gapE, quirk, max_sub):
+    if backend == "pallas":
+        from ssw_tpu.ops import pallas_sw
+        return pallas_sw.forward_shared_ref_gated(
+            prof, ref_loc, idxs, owned, rlen, cmask, sid, sstart, gapO,
+            gapE, quirk, max_sub=max_sub)
+    return scan_sw.forward_shared_ref_gated(
+        prof, ref_loc, idxs, owned, rlen, cmask, sid, sstart, gapO, gapE,
+        quirk)
+
+
 def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
                     seg_start, gapO: int, gapE: int, mask_len, ref_len: int,
-                    halo: int, quirk: bool = True, word_mask=None):
+                    halo: int, quirk: bool = True, word_mask=None,
+                    backend: str = "auto", max_sub: int | None = None):
     """Forward pass + suboptimal scan over a (data, seq) mesh.
 
     profile: (B, n1, L) with B divisible by mesh 'data' size;
@@ -65,6 +78,9 @@ def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
     C = R // S
     if word_mask is None:
         word_mask = jnp.zeros(profile.shape[0], bool)
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform != "cpu"
+                   else "scan")
 
     def local(prof, ref_ext_loc, rlen, cmask, sid, sstart, mlen, wmask):
         k = jax.lax.axis_index("seq")
@@ -73,9 +89,9 @@ def sharded_forward(mesh, profile, ref_ext, read_len, col_mask, seg_id,
         # global column index of each local column; warm-up gets idx < start
         idxs = jnp.arange(halo + C, dtype=jnp.int32) + (start - halo)
         owned = idxs >= start
-        score, end_ref, end_read, maxcol = scan_sw.forward_shared_ref_gated(
-            prof, ref_loc, idxs, owned, rlen, cmask, sid, sstart, gapO, gapE,
-            quirk)
+        score, end_ref, end_read, maxcol = _gated_forward(
+            backend, prof, ref_loc, idxs, owned, rlen, cmask, sid, sstart,
+            gapO, gapE, quirk, max_sub)
         # merge best hit over seq: (score desc, end_ref asc), payload end_read
         score_g = jax.lax.all_gather(score, "seq")       # (S, Bl)
         end_ref_g = jax.lax.all_gather(end_ref, "seq")

@@ -364,7 +364,7 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
     return results
 
 
-def align_batch_sharded(req: BatchRequest, mesh) -> list:
+def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
     """align_batch with the forward pass + suboptimal scan running over a
     (data x seq) device mesh (reads data-parallel, target sequence-parallel
     with halo re-compute, collective best-hit merge — parallel/dist.py).
@@ -415,7 +415,7 @@ def align_batch_sharded(req: BatchRequest, mesh) -> list:
             jnp.asarray(geo.read_len), jnp.asarray(geo.col_mask),
             jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start),
             req.gapO, req.gapE, jnp.asarray(ml), ref_len, halo, quirk,
-            word_mask)
+            word_mask, backend=backend, max_sub=max_sub)
         return [np.array(x) for x in out]  # writable copies
 
     word = np.full(Bp, word_tier)

@@ -37,8 +37,11 @@ def problem():
                 geo=geo, B=B, L=L, R=R)
 
 
-@pytest.mark.parametrize("data,seq", [(1, 8), (8, 1), (2, 4)])
-def test_sharded_forward_matches_single(problem, data, seq):
+@pytest.mark.parametrize("data,seq,backend", [
+    (1, 8, "scan"), (8, 1, "scan"), (2, 4, "scan"),
+    (2, 4, "pallas"),   # pallas kernel under shard_map (interpret on CPU)
+])
+def test_sharded_forward_matches_single(problem, data, seq, backend):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     p = problem
@@ -61,7 +64,8 @@ def test_sharded_forward_matches_single(problem, data, seq):
         m, jnp.asarray(p["prof"]), jnp.asarray(ref_ext),
         jnp.asarray(p["read_len"]), jnp.asarray(p["geo"].col_mask),
         jnp.asarray(p["geo"].seg_id), jnp.asarray(p["geo"].seg_start),
-        3, 1, mask_len, p["R"], halo, quirk=False)
+        3, 1, mask_len, p["R"], halo, quirk=False, backend=backend,
+        max_sub=2)
     g_score, g_end_ref, g_end_read, g_s2, g_re2 = [np.asarray(x) for x in out]
     np.testing.assert_array_equal(g_score, np.asarray(score))
     np.testing.assert_array_equal(g_end_ref, np.asarray(end_ref))
