@@ -239,6 +239,10 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     if req.score_size == 2:
         need_word = score + bias >= 255
         if need_word.any():
+            # NB: the rerun cannot be skipped even when quirk=False — the
+            # tiers differ in col_mask (rows padded to 16 vs 8 per lane
+            # block), and byte-tier pad rows carry stale diagonal values
+            # into maxColumn, changing score2 (caught by dna_word vectors)
             idx = np.nonzero(need_word)[0]
             k = len(idx)
             idx_p = idx
