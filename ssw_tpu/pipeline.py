@@ -227,6 +227,24 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         # needs value headroom; beyond it, route to the exact oracle
         return pipeline_fallback(req)
     geo = common.batch_geometry(read_len, L, word=word_tier)
+    # speculative tier masks: when the quirk is off, the tiers differ ONLY
+    # in col_mask (rows padded to 16 vs 8 per lane block; byte pad rows
+    # carry stale diagonal values into maxColumn).  A read whose maximum
+    # possible score (read_len*max|mat| + bias) cannot reach 255 never
+    # overflows, so give every *potentially* overflowing read the word-tier
+    # row mask up front — if it does overflow (the common case for long
+    # high-identity reads), the reference's whole word rerun
+    # (ref: src/ssw.c:883-886) is already answered; only might-but-didn't
+    # reads re-run, with byte rows.  Score/ends are tier-independent here.
+    might = np.zeros(B, dtype=bool)
+    if req.score_size == 2 and not quirk:
+        might = read_len.astype(np.int64) * max_sub + bias >= 255
+        if might.any():
+            geo_w_rows = common.batch_geometry(read_len, L, word=True)
+            geo = common.BatchGeometry(
+                L, read_len,
+                np.where(might[:, None], geo_w_rows.col_mask, geo.col_mask),
+                geo.seg_id, geo.seg_start)
     score, end_ref, end_read, max_col = _forward(
         jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
         backend, max_sub)
@@ -235,34 +253,38 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     end_read = np.array(end_read)
 
     word = np.full(B, word_tier)
-    word_sub = None  # (idx, padded suboptimal inputs) from the word rerun
+    word_sub = None  # (idx, rerun suboptimal inputs, tier) from the rerun
     if req.score_size == 2:
         need_word = score + bias >= 255
-        if need_word.any():
-            # NB: the rerun cannot be skipped even when quirk=False — the
-            # tiers differ in col_mask (rows padded to 16 vs 8 per lane
-            # block), and byte-tier pad rows carry stale diagonal values
-            # into maxColumn, changing score2 (caught by dna_word vectors)
-            idx = np.nonzero(need_word)[0]
+        word[need_word] = True
+        # reads whose first-pass row mask does not match their final tier
+        # re-run to fix maxColumn (score/ends are already exact):
+        #   quirk on  -> word-tier reads re-run with word geometry (the
+        #                quirk makes the whole DP tier-dependent)
+        #   quirk off -> might-but-didn't reads re-run with byte rows
+        rerun = need_word if quirk else (might & ~need_word)
+        rerun_word = bool(quirk)
+        if rerun.any():
+            idx = np.nonzero(rerun)[0]
             k = len(idx)
             idx_p = idx
             if backend == "pallas":  # stable compile shapes (see above)
                 pad = common.round_up(k, 64) - k
                 idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
-            geo_w = common.batch_geometry(read_len[idx_p], L, word=True)
-            prof_w = profile[idx_p]
-            s_w, er_w, ed_w, mc_w = _forward(
-                jnp.asarray(prof_w), ref_codes, geo_w, req.gapO, req.gapE,
+            geo_r = common.batch_geometry(read_len[idx_p], L,
+                                          word=rerun_word)
+            prof_r = profile[idx_p]
+            s_r, er_r, ed_r, mc_r = _forward(
+                jnp.asarray(prof_r), ref_codes, geo_r, req.gapO, req.gapE,
                 quirk, backend, max_sub)
-            score[idx] = np.asarray(s_w)[:k]
-            end_ref[idx] = np.asarray(er_w)[:k]
-            end_read[idx] = np.asarray(ed_w)[:k]
-            word[idx] = True
-            # the word tier's suboptimal scan runs directly on the rerun's
-            # per-column maxima: splicing them into the byte-tier (B, R)
-            # array would double a multi-GB buffer for long targets
-            word_sub = (idx, k, er_w, mc_w,
-                        jnp.asarray(mask_len[idx_p]))
+            score[idx] = np.asarray(s_r)[:k]
+            end_ref[idx] = np.asarray(er_r)[:k]
+            end_read[idx] = np.asarray(ed_r)[:k]
+            # the rerun tier's suboptimal scan runs directly on the rerun's
+            # per-column maxima: splicing them into the main (B, R) array
+            # would double a multi-GB buffer for long targets
+            word_sub = (idx, k, er_r, mc_r,
+                        jnp.asarray(mask_len[idx_p]), rerun_word)
     # the reference word kernel saturates at 32767 (_mm_adds_epi16); clamp
     # word-tier scores to its ceiling (positions beyond saturation are
     # undefined in the reference too)
@@ -279,12 +301,12 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     score2 = np.array(score2)
     ref_end2 = np.array(ref_end2)
     if word_sub is not None:
-        idx, k, er_w, mc_w, ml_w = word_sub
-        s2_w, re2_w = scan_sw.second_best_batch(
-            mc_w, er_w, ml_w, ref_len,
-            jnp.ones(mc_w.shape[0], bool))
-        score2[idx] = np.asarray(s2_w)[:k]
-        ref_end2[idx] = np.asarray(re2_w)[:k]
+        idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
+        s2_r, re2_r = scan_sw.second_best_batch(
+            mc_r, er_r, ml_r, ref_len,
+            jnp.full(mc_r.shape[0], rerun_word, bool))
+        score2[idx] = np.asarray(s2_r)[:k]
+        ref_end2[idx] = np.asarray(re2_r)[:k]
 
     return _finish_batch(req, score, end_ref, end_read, score2, ref_end2,
                          word, null_mask, mat_ext, backend)
