@@ -3,7 +3,8 @@
 A from-scratch JAX/XLA/Pallas re-design of the capabilities of
 mengyao/Complete-Striped-Smith-Waterman-Library (reference mounted at
 /root/reference).  The reference's SSE2 striped kernel (ref: src/ssw.c)
-becomes an exact int32 column-scan DP on the TPU VPU where Farrar's lazy-F
+becomes an exact column-scan DP on the TPU VPU (int16/int32 value-range
+tiers) where Farrar's lazy-F
 correction loop is replaced by an associative prefix-max scan; the
 byte(8-bit)/word(16-bit) two-tier behavior is emulated only where it is
 observable (suboptimal-score masking windows).
