@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import sys
+
 import numpy as np
 
 from ssw_tpu.core.cigar import cigar_alignment_score, to_cigar_int
@@ -463,6 +465,10 @@ def ssw_align(read: np.ndarray, ref: np.ndarray, mat: np.ndarray,
     r.ref_begin1 = r.ref_end1 - rev.end_ref
     r.read_begin1 = r.read_end1 - rev.end_read
     if r.score1 > rev.score:
+        # the reference library prints this itself (ref: src/ssw.c:933)
+        sys.stderr.write("Warning: The alignment path of one pair of "
+                         "sequences may miss a small part. "
+                         "[ssw.c ssw_align]\n")
         r.flag = 2
 
     if (flag & 7) == 0 or ((flag & 2) and r.score1 < filters) or \

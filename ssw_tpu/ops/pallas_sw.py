@@ -230,7 +230,13 @@ def _i16_supported() -> bool:
     kernel and cache the answer; interpret mode (CPU) always works."""
     global _I16_OK
     if _I16_OK is None:
-        if jax.devices()[0].platform == "cpu":
+        import os
+        if os.environ.get("SSW_TPU_I16", "1") == "0":
+            # escape hatch: on toolchains where the Mosaic compiler aborts
+            # in-process (rather than failing the remote compile RPC like
+            # this harness), the probe below cannot catch the crash
+            _I16_OK = False
+        elif jax.devices()[0].platform == "cpu":
             _I16_OK = True
         else:
             def probe(x_ref, o_ref):
@@ -320,8 +326,11 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         end_read = jnp.min(cand, axis=1)
         end_read = jnp.where(end_read == L, rl - 1, end_read)
         outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read,
-                     # reference word-kernel saturation point (adds_epi16)
-                     jnp.minimum(maxcol[:Bc, :R], 32767).astype(jnp.uint16)))
+                     # clip: lower bound restores the scan path's 0 for
+                     # all-masked (empty) reads whose colmax is the negative
+                     # sentinel; upper bound is the reference word kernel's
+                     # saturation point (adds_epi16)
+                     jnp.clip(maxcol[:Bc, :R], 0, 32767).astype(jnp.uint16)))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
@@ -362,4 +371,4 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
     end_read = jnp.min(cand, axis=1)
     end_read = jnp.where(end_read == L, read_len - 1, end_read)
     return (gmax[:, 0], end_ref[:, 0], end_read,
-            jnp.minimum(maxcol[:, :R], 32767).astype(jnp.uint16))
+            jnp.clip(maxcol[:, :R], 0, 32767).astype(jnp.uint16))

@@ -122,13 +122,13 @@ def pick_backend(backend: str) -> str:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no devices
         platform = "cpu"
-    if platform != "cpu":
+    if platform == "tpu":
         try:
             from ssw_tpu.ops import pallas_sw  # noqa: F401
             return "pallas"
         except ImportError:
             return "scan"
-    return "scan"
+    return "scan"  # the kernel is Mosaic-only; GPU/other backends scan
 
 
 def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignResult]:
@@ -190,26 +190,21 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             results.extend(align_batch(sub, backend))
         return results
 
-    # pad the batch dimension to a multiple of 64 (duplicates of read 0,
-    # results sliced away) so the compiled-shape set stays small across
-    # arbitrary batch sizes — shape churn otherwise dominates wall time
-    Braw = B
-    Bpad = common.round_up(B, 64) if backend == "pallas" else B
-    if Bpad != B:
-        mask_all = _as_masklen_array(req.mask_len, B)
-        req = BatchRequest(
-            reads=list(req.reads) + [req.reads[0]] * (Bpad - B),
-            ref=req.ref, mat=req.mat, gapO=req.gapO, gapE=req.gapE,
-            flag=req.flag, filters=req.filters, filterd=req.filterd,
-            mask_len=list(mask_all) + [15] * (Bpad - B),
-            score_size=req.score_size)
-        return align_batch(req, backend)[:Braw]
+    # pad the batch dimension to a multiple of 64 (duplicates of read 0)
+    # so the compiled-shape set stays small across arbitrary batch sizes —
+    # shape churn otherwise dominates wall time.  Only the device stages
+    # (forward, suboptimal scan) see the padding; everything is sliced back
+    # to B before _finish_batch so no duplicate warnings/tracebacks run.
+    Bp = common.round_up(B, 64) if backend == "pallas" else B
+    reads_all = list(req.reads) + [req.reads[0]] * (Bp - B)
+    mask_len_p = np.concatenate(
+        [mask_len, np.full(Bp - B, 15, np.int32)])
 
-    read_len = np.array([len(r) for r in req.reads], dtype=np.int32)
+    read_len = np.array([len(r) for r in reads_all], dtype=np.int32)
     max_rl = int(read_len.max())
     L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
     mat_ext = common.extend_matrix(req.mat)
-    reads_padded = common.pad_reads(req.reads, L, pad_code=n)
+    reads_padded = common.pad_reads(reads_all, L, pad_code=n)
     profile = common.build_profile(reads_padded, read_len, mat_ext)
     # pad the target to a coarse bucket with the virtual letter: padded
     # columns carry values diagonally at zero cost but can never strictly
@@ -252,7 +247,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     end_ref = np.array(end_ref)
     end_read = np.array(end_read)
 
-    word = np.full(B, word_tier)
+    word = np.full(Bp, word_tier)
     word_sub = None  # (idx, rerun suboptimal inputs, tier) from the rerun
     if req.score_size == 2:
         need_word = score + bias >= 255
@@ -284,20 +279,17 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             # per-column maxima: splicing them into the main (B, R) array
             # would double a multi-GB buffer for long targets
             word_sub = (idx, k, er_r, mc_r,
-                        jnp.asarray(mask_len[idx_p]), rerun_word)
+                        jnp.asarray(mask_len_p[idx_p]), rerun_word)
     # the reference word kernel saturates at 32767 (_mm_adds_epi16); clamp
     # word-tier scores to its ceiling (positions beyond saturation are
     # undefined in the reference too)
     score = np.where(word, np.minimum(score, 32767), score)
 
-    null_mask = np.zeros(B, dtype=bool)
-    if req.score_size == 0:
-        null_mask = score + bias >= 255
-
-    # suboptimal scores (tier-aware window edges)
+    # suboptimal scores (tier-aware window edges; padded shapes for compile
+    # stability, sliced to B below)
     score2, ref_end2 = scan_sw.second_best_batch(
         jnp.asarray(max_col), jnp.asarray(end_ref),
-        jnp.asarray(mask_len), ref_len, jnp.asarray(word))
+        jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
     score2 = np.array(score2)
     ref_end2 = np.array(ref_end2)
     if word_sub is not None:
@@ -307,6 +299,15 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             jnp.full(mc_r.shape[0], rerun_word, bool))
         score2[idx] = np.asarray(s2_r)[:k]
         ref_end2[idx] = np.asarray(re2_r)[:k]
+
+    # drop the shape-stability padding before the host stages: duplicates
+    # must not emit warnings or run extra reverse passes / tracebacks
+    score, end_ref, end_read = score[:B], end_ref[:B], end_read[:B]
+    score2, ref_end2, word = score2[:B], ref_end2[:B], word[:B]
+
+    null_mask = np.zeros(B, dtype=bool)
+    if req.score_size == 0:
+        null_mask = score + bias >= 255
 
     return _finish_batch(req, score, end_ref, end_read, score2, ref_end2,
                          word, null_mask, mat_ext, backend)
@@ -465,14 +466,16 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
             word[idx] = True
     score = np.where(word, np.minimum(score, 32767), score)
 
-    req_full = BatchRequest(
-        reads=reads, ref=req.ref, mat=req.mat, gapO=req.gapO, gapE=req.gapE,
-        flag=req.flag, filters=req.filters, filterd=req.filterd,
-        mask_len=ml, score_size=req.score_size)
-    results = _finish_batch(req_full, score, end_ref, end_read, score2,
-                            ref_end2, word, np.zeros(Bp, bool), mat_ext,
-                            "scan")
-    return results[:B]
+    # drop the data-parallel padding before the host stages (no duplicate
+    # warnings / tracebacks), and honor score_size semantics like
+    # align_batch (0: NULL on byte overflow; ref: src/ssw.c:887-891)
+    score, end_ref, end_read = score[:B], end_ref[:B], end_read[:B]
+    score2, ref_end2, word = score2[:B], ref_end2[:B], word[:B]
+    null_mask = np.zeros(B, dtype=bool)
+    if req.score_size == 0:
+        null_mask = score + bias >= 255
+    return _finish_batch(req, score, end_ref, end_read, score2,
+                         ref_end2, word, null_mask, mat_ext, "scan")
 
 
 def pipeline_fallback(req: BatchRequest) -> list:

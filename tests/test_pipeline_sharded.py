@@ -54,6 +54,48 @@ def test_sharded_pipeline_matches_single(data, seq, mismatch):
         assert _fields(w) == _fields(g)
 
 
+def test_sharded_score_size0_returns_none_on_overflow():
+    """score_size=0 must return None for byte-overflowing reads in the
+    sharded path exactly like align_batch (ref: NULL at src/ssw.c:887-891)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(2)
+    mat = np.zeros((5, 5), np.int8)
+    for i in range(4):
+        for j in range(4):
+            mat[i, j] = 4 if i == j else -2
+    ref = rng.integers(0, 4, 512).astype(np.int32)
+    overflow = ref[10:110].copy()          # score 400 > 255
+    small = ref[200:240].copy()            # score 160 < 255
+    req = pipeline.BatchRequest(reads=[overflow, small], ref=ref, mat=mat,
+                                gapO=3, gapE=1, flag=0x0F, mask_len=15,
+                                score_size=0)
+    want = pipeline.align_batch(req, backend="scan")
+    assert want[0] is None and want[1] is not None
+    m = mesh_lib.make_mesh(data=2, seq=2)
+    got = pipeline.align_batch_sharded(req, m)
+    assert got[0] is None
+    assert _fields(got[1]) == _fields(want[1])
+
+
+def test_padding_duplicates_emit_no_extra_warnings(capsys):
+    """Shape-stability padding (duplicates of read 0) must not multiply the
+    library's flag=2 stderr warning or any per-read work."""
+    import io
+    import contextlib
+    reads, ref, mat = _mk_problem(seed=21, B=3)  # B=3 -> padded to 64 rows
+    req = pipeline.BatchRequest(
+        reads=reads, ref=ref, mat=mat, gapO=3, gapE=1, flag=0x0F,
+        mask_len=[max(len(r) // 2, 15) for r in reads])
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        res = pipeline.align_batch(req, backend="pallas")
+    assert len(res) == 3
+    warn = buf.getvalue().count("may miss a small part")
+    # at most one warning per real read, never one per padded row
+    assert warn <= 3
+
+
 def test_sharded_pipeline_word_rerun():
     """Force a byte-tier overflow (long perfect read, score > 255) so the
     word-geometry rerun path is exercised on the mesh."""
