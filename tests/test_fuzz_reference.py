@@ -103,6 +103,9 @@ OPTSETS = [
     ["-m", "3", "-x", "1", "-o", "2", "-e", "2", "-c", "-s", "-h"],
     ["-r", "-c", "-s", "-h"],
     ["-f", "30", "-c"],
+    # gapO < gapE: bug-compatible oracle fallback path (striped lazy-F
+    # simulation + exact scalar banded F recurrence)
+    ["-m", "2", "-x", "2", "-o", "1", "-e", "3", "-c", "-s", "-h"],
 ]
 
 
