@@ -436,7 +436,12 @@ def ssw_align(read: np.ndarray, ref: np.ndarray, mat: np.ndarray,
         fwd = sw_forward(ref, read, mat, gapO, gapE, word=False)
         if fwd.score + bias >= 255:
             if score_size == 0:
-                return None  # ref warns and returns NULL (src/ssw.c:887-891)
+                # ref warns and returns NULL (src/ssw.c:887-891)
+                sys.stderr.write(
+                    "Please set 2 to the score_size parameter of the "
+                    "function ssw_init, otherwise the alignment results "
+                    "will be incorrect.\n")
+                return None
             word = True
             fwd = sw_forward(ref, read, mat, gapO, gapE, word=True)
     score1 = fwd.score

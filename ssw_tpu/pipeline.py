@@ -308,6 +308,11 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     null_mask = np.zeros(B, dtype=bool)
     if req.score_size == 0:
         null_mask = score + bias >= 255
+        for _ in range(int(null_mask.sum())):  # ref: src/ssw.c:888
+            sys.stderr.write(
+                "Please set 2 to the score_size parameter of the function "
+                "ssw_init, otherwise the alignment results will be "
+                "incorrect.\n")
 
     return _finish_batch(req, score, end_ref, end_read, score2, ref_end2,
                          word, null_mask, mat_ext, backend)
@@ -474,6 +479,11 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
     null_mask = np.zeros(B, dtype=bool)
     if req.score_size == 0:
         null_mask = score + bias >= 255
+        for _ in range(int(null_mask.sum())):  # ref: src/ssw.c:888
+            sys.stderr.write(
+                "Please set 2 to the score_size parameter of the function "
+                "ssw_init, otherwise the alignment results will be "
+                "incorrect.\n")
     return _finish_batch(req, score, end_ref, end_read, score2,
                          ref_end2, word, null_mask, mat_ext, "scan")
 
