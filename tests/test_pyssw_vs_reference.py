@@ -1,0 +1,80 @@
+"""Cross-validation of the pyssw twin against the *actual* reference
+pyssw.py driving a freshly built libssw.so.
+
+The reference script (revised 2022) runs under Python 3 where its
+Python-2-style print fragments each land on their own line, so byte
+comparison is meaningless; instead the field VALUES (scores, begins/ends,
+strand, CIGAR) are extracted from both outputs and must agree.  Skipped
+when the reference mount or toolchain is unavailable."""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REF_SRC = "/root/reference/src"
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+FIELD_RE = re.compile(
+    r"optimal_alignment_score: (\d+)|suboptimal_alignment_score: (\d+)|"
+    r"strand: ([+-])|target_begin: (\d+)|target_end: (\d+)|"
+    r"query_begin: (\d+)|query_end: (\d+)")
+
+
+@pytest.fixture(scope="module")
+def ref_pyssw(tmp_path_factory):
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference mount unavailable")
+    d = tmp_path_factory.mktemp("libssw")
+    r = subprocess.run(
+        ["gcc", "-O2", "-shared", "-fPIC", "-o", str(d / "libssw.so"),
+         os.path.join(REF_SRC, "ssw.c"), "-lm", "-lz"],
+        capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"cannot build libssw.so: {r.stderr[:200]}")
+    return str(d)
+
+
+def _fields(text):
+    out = []
+    for m in FIELD_RE.finditer(text):
+        for g in m.groups():
+            if g is not None:
+                out.append(g)
+    return out
+
+
+def _run_reference(libdir, args):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REF_SRC, "pyssw.py"), "-l", libdir]
+        + args, capture_output=True, text=True, timeout=300, cwd=REF_SRC)
+    assert r.returncode == 0, r.stderr[:400]
+    return r.stdout
+
+
+def _run_ours(args):
+    import io
+    from ssw_tpu import pyssw
+    out, err = io.StringIO(), io.StringIO()
+    assert pyssw.main(args, out=out, err=err) == 0
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("args", [
+    ["-c", "r1.fa", "r1_query.fq"],
+    # NB: "-r" cannot be cross-validated: the reference pyssw crashes on it
+    # (args.bProtien typo, ref: src/pyssw.py:227) — the exact bug our twin
+    # documents and fixes
+    ["-c", "1k.fa", "54mer_hap1_1.100.fastq"],
+    ["-c", "-p", "pRef.fa", "pRead.fa"],
+    ["-m", "1", "-x", "3", "-o", "5", "-e", "2", "-c", "10k.fa",
+     "54mer_hap1_1.100.fastq"],
+])
+def test_pyssw_fields_match_reference(ref_pyssw, args):
+    full = args[:-2] + [os.path.join(DATA, args[-2]),
+                        os.path.join(DATA, args[-1])]
+    ours = _fields(_run_ours(full))
+    ref = _fields(_run_reference(ref_pyssw, full))
+    assert ours == ref
