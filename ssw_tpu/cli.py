@@ -22,8 +22,6 @@ import io
 import sys
 import time
 
-import numpy as np
-
 from ssw_tpu import pipeline
 from ssw_tpu.core.encoding import (AA_TABLE, BLOSUM50, NT_TABLE, dna_matrix,
                                    encode_with_table, parse_matrix_file,

@@ -22,8 +22,6 @@ this is the TPU-native scale-out design:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

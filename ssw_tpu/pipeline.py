@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssw_tpu.core import oracle
-from ssw_tpu.core.cigar import cigar_alignment_score
 from ssw_tpu.core.encoding import matrix_bias
 from ssw_tpu.ops import common, scan_sw
 
