@@ -44,18 +44,27 @@ def string_to_cigar(s: str) -> list[int]:
     return out
 
 
-def cigar_alignment_score(cigar, ref, read, mat, gapO: int, gapE: int) -> int:
+def cigar_alignment_score(cigar, ref, read, mat, gapO: int, gapE: int):
     """Re-score an alignment path; used to validate the banded traceback
     (ref: src/ssw.c:785-811).  Gap of length L costs gapO + (L-1)*gapE —
     the 'first gap base costs only gapO' convention (ref: README.md:38).
+
+    Returns None when the path walks outside the sequences: the banded
+    traceback's tail fix-up can append a 1M past the sub-rectangle
+    (ref: src/ssw.c:745-762), where the reference re-scorer reads
+    out-of-bounds garbage that fails its verification — None reproduces
+    that failure deterministically.
     """
     score = 0
     i = j = 0  # i: ref pos, j: read pos
     mat = np.asarray(mat)
+    n_ref, n_read = len(ref), len(read)
     for c in cigar:
         ln = cigar_int_to_len(c)
         op = cigar_int_to_op(c)
         if op == "M":
+            if i + ln > n_ref or j + ln > n_read:
+                return None
             for _ in range(ln):
                 score += int(mat[ref[i], read[j]])
                 i += 1

@@ -156,14 +156,19 @@ static bool traceback(const BandedDP& dp, std::vector<uint32_t>& out) {
 }
 
 static int64_t rescore(const std::vector<uint32_t>& cigar, const int8_t* ref,
-                       const int8_t* read, const int8_t* mat, int n,
-                       int gap_open, int gap_ext) {
+                       int ref_len, const int8_t* read, int read_len,
+                       const int8_t* mat, int n, int gap_open, int gap_ext) {
     int64_t score = 0;
     int i = 0, j = 0;
     for (uint32_t c : cigar) {
         uint32_t len = c >> 4;
         uint32_t op = c & 0xF;
         if (op == 0) {  // M
+            // the tail fix-up 1M (ref: src/ssw.c:745-762) can step outside
+            // the sub-rectangle; the reference reads garbage there and
+            // fails verification -- fail it deterministically instead
+            if (i + int(len) > ref_len || j + int(len) > read_len)
+                return INT64_MIN;
             for (uint32_t k = 0; k < len; ++k) {
                 score += mat[ref[i] * n + read[j]];
                 ++i;
@@ -220,7 +225,8 @@ int32_t sswtpu_banded_cigar(const int8_t* ref, int32_t ref_len,
         bool ok = banded_once(ref, ref_len, read, read_len, score, gap_open,
                               gap_ext, band_width, mat, n, cigar);
         if (!ok) return 0;
-        if (rescore(cigar, ref, read, mat, n, gap_open, gap_ext) == score)
+        if (rescore(cigar, ref, ref_len, read, read_len, mat, n,
+                    gap_open, gap_ext) == score)
             break;
         if (band_width >= full_band) return 0;
         band_width = full_band;
