@@ -19,6 +19,7 @@ Implementation differences (documented):
 from __future__ import annotations
 
 import io
+import os
 import sys
 import time
 
@@ -117,6 +118,12 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
         n = mat.shape[0]
 
     target_path, query_path = files[0], files[1]
+    for path in (target_path, query_path):
+        if not os.path.exists(path):
+            # the reference segfaults here (unchecked gzopen,
+            # ref: src/main.c:436); fail cleanly instead
+            err.write(f"Failed to open the file {path}.\n")
+            return 1
     sam = opts["sam"]
     if sam and opts["header"] and opts["path"]:
         out.write("@HD\tVN:1.4\tSO:queryname\n")

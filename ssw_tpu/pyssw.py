@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import gzip
 import math
+import os
 import sys
 import timeit
 
@@ -201,6 +202,10 @@ def main(argv=None, out=None, err=None) -> int:
     args = parser.parse_args(argv)
     out = out or sys.stdout
     err = err or sys.stderr
+    for path in (args.target, args.query):
+        if not os.path.exists(path):
+            err.write(f"Failed to open the file {path}.\n")
+            return 1
 
     t1 = timeit.default_timer()
     _run(args, Py2Printer(out), err)
