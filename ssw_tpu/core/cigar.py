@@ -126,10 +126,8 @@ def mark_mismatch(ref_begin1: int, read_begin1: int, read_end1: int,
             out.append(to_cigar_int(ln, "D"))
             i += ln
             run_op = ""
-        else:  # pass through anything exotic unchanged, like the reference
-            flush()
-            out.append(c)
-            run_op = ""
+        # any other op is silently dropped without advancing positions,
+        # exactly like the reference's if/else chain (ref: src/ssw.c:1035-1062)
     flush()
     tail = read_len - read_end1 - 1
     if tail > 0:

@@ -111,7 +111,6 @@ def blast_like(out, a, ref_name: str, read_name: str, ref_seq: str,
         for c in range(e, n_ops):
             letter, length = ops[c]
             l = left if (count == 0 and left > 0) else length
-            i_stop = 0
             for i in range(l):
                 if letter == "D":
                     w("-")

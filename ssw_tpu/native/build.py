@@ -27,12 +27,20 @@ def _compile() -> bool:
     newest = max(os.path.getmtime(s) for s in srcs)
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= newest:
         return True
+    # compile to a unique temp path and os.replace so concurrent processes
+    # never dlopen a half-written .so
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _LIB_PATH, *srcs, "-lz"]
+           "-o", tmp, *srcs, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except (subprocess.SubprocessError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -45,7 +53,10 @@ def load():
         _tried = True
         if not _compile():
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
         c = ctypes
         lib.sswtpu_banded_cigar.restype = c.c_int32
         lib.sswtpu_banded_cigar.argtypes = [

@@ -1,9 +1,16 @@
-// Buffered FASTA/FASTQ reader with kseq-compatible record semantics
-// (behavioral spec: /root/reference/src/kseq.h:139-221 — skip bytes until a
-// '>'/'@' line start; name to first whitespace, comment is the line rest;
-// sequence lines until '>'/'@'/'+' at line start; '+' opens a quality block
-// read until the quality length reaches the sequence length).  Gzip input is
-// handled through zlib like the reference's KSEQ_INIT(gzFile, gzread).
+// Buffered FASTA/FASTQ reader reproducing the exact character-level
+// semantics of the *old* kseq the reference vendors
+// (behavioral spec: /root/reference/src/kseq.h:170-208):
+//   - skip bytes until a '>'/'@' CHARACTER (anywhere, not just line starts);
+//   - name to the first whitespace; comment is the rest of that line;
+//   - sequence bytes until the next '>'/'+'/'@' character anywhere,
+//     keeping only isgraph() bytes (33..126);
+//   - '+' opens a quality block: skip the rest of the '+' line, then bytes
+//     33..127 count toward the quality until it reaches the sequence
+//     length, after which exactly one extra byte is consumed;
+//   - truncated '+'-line or quality (EOF first) is kseq's -2: the stream
+//     ends there, like the reference CLI's `while (kseq_read >= 0)` loop.
+// Gzip input through zlib like the reference's KSEQ_INIT(gzFile, gzread).
 //
 // Batch-oriented C ABI: records stream into one arena per batch so Python
 // pays one ctypes round-trip per thousands of records.
@@ -20,31 +27,36 @@ namespace {
 
 struct Reader {
     gzFile gz = nullptr;
-    std::string buf;       // current line buffer
-    bool has_pending = false;
-    std::string pending;   // header line carried over ('>' or '@' line)
+    std::string buf;
+    size_t pos = 0;
     bool eof = false;
+    int last_char = 0;   // kseq's pending header char
+    bool done = false;   // kseq returned -1/-2
 
     // batch arena
-    std::string arena;                 // name\0comment\0seq\0qual\0 packed
+    std::string arena;                 // name|comment|seq|qual packed
     std::vector<int64_t> offsets;      // 8 per record: off/len x 4 fields
     int64_t n_records = 0;
 
-    bool getline_raw(std::string& out) {
-        out.clear();
-        char tmp[65536];
-        for (;;) {
-            if (gzgets(gz, tmp, sizeof(tmp)) == Z_NULL) {
-                return !out.empty();
-            }
-            size_t got = std::strlen(tmp);
-            out.append(tmp, got);
-            if (!out.empty() && out.back() == '\n') {
-                out.pop_back();
-                if (!out.empty() && out.back() == '\r') out.pop_back();
-                return true;
-            }
+    bool fill() {
+        if (pos < buf.size()) return true;
+        if (eof) return false;
+        buf.resize(1 << 16);
+        int got = gzread(gz, &buf[0], int(buf.size()));
+        if (got <= 0) {
+            eof = true;
+            buf.clear();
+            pos = 0;
+            return false;
         }
+        buf.resize(size_t(got));
+        pos = 0;
+        return true;
+    }
+
+    int getc() {
+        if (!fill()) return -1;
+        return (unsigned char)buf[pos++];
     }
 };
 
@@ -54,52 +66,55 @@ void push_field(Reader* r, const std::string& s) {
     r->arena.append(s);
 }
 
-// read one record into the arena; returns false at EOF
+// read one record into the arena; returns false when the stream is done
 bool next_record(Reader* r) {
-    std::string line;
-    if (!r->has_pending) {
-        for (;;) {
-            if (!r->getline_raw(line)) return false;
-            if (!line.empty() && (line[0] == '>' || line[0] == '@')) break;
-        }
-    } else {
-        line = r->pending;
-        r->has_pending = false;
+    if (r->done) return false;
+    int c;
+    if (r->last_char == 0) {  // scan to the next header char, anywhere
+        while ((c = r->getc()) != -1 && c != '>' && c != '@') {}
+        if (c == -1) { r->done = true; return false; }
+        r->last_char = c;
     }
-    // header
-    std::string name, comment;
-    size_t ws = 1;
-    while (ws < line.size() && !std::isspace((unsigned char)line[ws])) ++ws;
-    name = line.substr(1, ws - 1);
-    size_t cs = ws;
-    while (cs < line.size() && std::isspace((unsigned char)line[cs])) ++cs;
-    comment = line.substr(cs);
-
-    std::string seq, qual;
-    bool saw_plus = false;
-    for (;;) {
-        if (!r->getline_raw(line)) break;
-        if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
-            r->pending = line;
-            r->has_pending = true;
-            break;
-        }
-        if (!line.empty() && line[0] == '+') {
-            saw_plus = true;
-            break;
-        }
-        seq += line;
+    r->last_char = 0;
+    // name: to first whitespace (kseq returns -1 when EOF follows the
+    // header char immediately -> no record)
+    std::string name, comment, seq, qual;
+    int stop = 0;
+    while ((c = r->getc()) != -1) {
+        if (std::isspace(c)) { stop = c; break; }
+        name.push_back(char(c));
     }
-    if (saw_plus) {
-        while (qual.size() < seq.size()) {
-            if (!r->getline_raw(line)) break;
-            qual += line;
-        }
+    if (c == -1 && name.empty()) { r->done = true; return false; }
+    if (c != -1 && stop != '\n') {  // comment: rest of the line
+        while ((c = r->getc()) != -1 && c != '\n')
+            comment.push_back(char(c));
+        while (!comment.empty() && comment.back() == '\r') comment.pop_back();
+    }
+    // sequence: until '>'/'+'/'@' anywhere; keep isgraph() only
+    int term = -1;
+    while ((c = r->getc()) != -1) {
+        if (c == '>' || c == '+' || c == '@') { term = c; break; }
+        if (c >= 33 && c <= 126) seq.push_back(char(c));
+    }
+    if (term == '>' || term == '@') r->last_char = term;
+    bool has_qual = false;
+    if (term == '+') {
+        // skip the rest of the '+' line; EOF here is kseq's -2
+        while ((c = r->getc()) != -1 && c != '\n') {}
+        if (c == -1) { r->done = true; return false; }
+        // quality: bytes 33..127 count until seq length, then the loop's
+        // final iteration consumes one extra byte
+        while ((c = r->getc()) != -1 && qual.size() < seq.size())
+            if (c >= 33 && c <= 127) qual.push_back(char(c));
+        if (qual.size() != seq.size()) { r->done = true; return false; }
+        has_qual = true;
+    } else if (term == -1) {
+        r->done = true;  // final FASTA record, then EOF
     }
     push_field(r, name);
     push_field(r, comment);
     push_field(r, seq);
-    if (saw_plus) {
+    if (has_qual) {
         push_field(r, qual);
     } else {
         r->offsets.push_back(-1);  // qual absent marker
