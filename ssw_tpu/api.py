@@ -143,8 +143,58 @@ class Aligner:
         self._reference = None
 
     def set_reference_sequence(self, ref: str) -> int:
-        self._reference = self._translate(ref)
-        return len(self._reference)
+        """ref: src/ssw_cpp.cpp:241-248 — a cleared (disabled) aligner
+        cannot store a reference; returns the stored length (0 if
+        disabled)."""
+        self._reference = None
+        if self.table is not None:
+            self._reference = self._translate(ref)
+            return len(self._reference)
+        return 0
+
+    def clear(self):
+        """Clear all containers; the aligner is disabled until a rebuild
+        (ref: src/ssw_cpp.h:188-190, src/ssw_cpp.cpp:359-362)."""
+        self.matrix = None
+        self.table = None
+        self._reference = None
+
+    def rebuild(self, *args) -> bool:
+        """ReBuild overloads (ref: src/ssw_cpp.cpp:370-407):
+
+          rebuild()                       -> defaults (2/2/3/1, 5x5 matrix)
+          rebuild(m, x, o, e)             -> default matrix w/ those scores
+          rebuild(score_matrix[, translation_matrix])
+                                          -> custom matrices
+
+        The 0- and 4-arg forms FAIL (return False) unless the aligner was
+        cleared first; the custom-matrix form succeeds unconditionally —
+        reference parity, it never checks (src/ssw_cpp.cpp:394-407)."""
+        if len(args) in (0, 4):
+            if self.table is not None:
+                return False
+            if len(args) == 4:
+                match_score, mismatch_penalty, gap_open, gap_extend = args
+            else:
+                match_score, mismatch_penalty, gap_open, gap_extend = (
+                    2, 2, 3, 1)
+            # SetAllDefault resets every parameter, gaps included
+            # (ref: src/ssw_cpp.cpp:364-368)
+            self.gap_open = gap_open
+            self.gap_extend = gap_extend
+            self._reference = None
+            self.matrix = _cpp_default_matrix(match_score, mismatch_penalty)
+            self.table = _CPP_BASE_TABLE
+            return True
+        if len(args) in (1, 2):
+            self.matrix = np.asarray(args[0], dtype=np.int8)
+            if self.matrix.ndim == 1:
+                n = int(np.sqrt(self.matrix.size))
+                self.matrix = self.matrix.reshape(n, n)
+            self.table = (np.asarray(args[1], dtype=np.int8)
+                          if len(args) == 2 else _CPP_BASE_TABLE)
+            return True
+        raise TypeError(f"rebuild takes 0, 4, or 1-2 args, got {len(args)}")
 
     def clear_reference_sequence(self):
         self._reference = None
@@ -170,12 +220,21 @@ class Aligner:
     def align_batch(self, queries, ref: str | None = None,
                     filter: Filter | None = None, mask_len=15):
         filter = filter or Filter()
+        if self.table is None or any(len(q) == 0 for q in queries):
+            # disabled (cleared) aligner / empty query: Align returns false
+            # and leaves the alignment untouched (ref: src/ssw_cpp.cpp:278,
+            # :301)
+            return [0] * len(queries), [Alignment() for _ in queries]
         if ref is not None:
+            if len(ref) == 0:
+                return [0] * len(queries), [Alignment() for _ in queries]
             t_ref = self._translate(ref)
         elif self._reference is not None:
             t_ref = self._reference
         else:
-            raise ValueError("no reference sequence")
+            # no stored reference: Align(query, filter, ...) returns false
+            # (ref: src/ssw_cpp.cpp:277-279)
+            return [0] * len(queries), [Alignment() for _ in queries]
         t_queries = [self._translate(q) for q in queries]
         flag = 0
         if filter.report_begin_position:

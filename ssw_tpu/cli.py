@@ -9,17 +9,19 @@ Implementation differences (documented):
     the target file is parsed once instead of re-read from disk per read
     (ref: src/main.c:493); output is re-ordered to the reference's
     read-major order before emission;
-  * the reference's 2025 argv refactor leaks option-value characters back
-    into flag scanning (e.g. `-a blosum62.txt` accidentally toggles -s/-r
-    from letters of the filename, ref: src/main.c:254-304); we implement the
-    *documented* semantics (usage text, ref: src/main.c:411-423) instead of
-    that bug.
+  * the reference's argv refactor leaks option-value characters back into
+    flag scanning (e.g. `-a blosum62.txt` accidentally toggles -s from the
+    's' in the filename, ref: src/main.c:254-304); parse_args reproduces
+    those semantics bug-for-bug through a model of the packed Linux argv
+    buffer (see its docstring), stopping only where the C program would
+    read past argv into envp.
 """
 
 from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 import time
 
@@ -48,32 +50,75 @@ Options:
 """
 
 
+def _atoi(s: str) -> int:
+    """C atoi: leading whitespace, optional sign, digits, junk-tolerant."""
+    m = re.match(r"[ \t\n\v\f\r]*([+-]?[0-9]*)", s)
+    tok = m.group(1)
+    try:
+        return int(tok)
+    except ValueError:
+        return 0
+
+
+_VALUED = "mxoeaf"
+_OPT_KEY = {"m": "match", "x": "mismatch", "o": "gap_open",
+            "e": "gap_extension", "f": "filter", "a": "mat_file"}
+
+
 def parse_args(argv: list[str]):
+    """Bug-compatible twin of the reference's hand-rolled argv scanner
+    (ref: src/main.c:248-320), byte-exact on Linux, including its quirks:
+
+      * a valued option (-m/-x/-o/-e/-a/-f) consumes the next argument only
+        when it does not start with '-' (so `-m -3` leaves the default and
+        `-m1` attached style silently does nothing);
+      * after consuming a value the character scan CONTINUES — first inside
+        the value string (so `-a blosum62.txt` also sets -s from the 's' in
+        "blosum62.txt"), and then, because the C loop indexes the original
+        offset into the new argv[i] and argv strings are packed contiguously
+        on the Linux stack, PAST the value's terminator into the following
+        argument's bytes until a '\0' lines up.  We model the packed buffer
+        exactly and stop at the end of the last argument (beyond it the C
+        program reads envp — not reproducible, not goldenable);
+      * the file-argument locator is an independent walk that assumes
+        [option][value] pairs only when the option's FIRST letter is valued
+        (`-cm 3` therefore mis-locates the files — reproduced).
+    """
     opts = dict(match=2, mismatch=2, gap_open=3, gap_extension=1, filter=0,
                 protein=False, path=False, reverse=False, sam=False,
                 header=False, mat_file=None)
-    files: list[str] = []
+    args = list(argv)
+    # the contiguous argv packing: offsets[i] = linear offset of args[i]
+    offsets = []
+    pos = 0
+    for a in args:
+        offsets.append(pos)
+        pos += len(a) + 1
+    buf = "\0".join(args) + "\0"
+
+    def char_at(i: int, j: int) -> str:
+        """argv[i][j] through the packed buffer (may cross terminators)."""
+        p = offsets[i] + j
+        return buf[p] if p < len(buf) else "\0"
+
     i = 0
-    while i < len(argv):
-        arg = argv[i]
-        if arg.startswith("-") and len(arg) > 1:
-            for ch in arg[1:]:
-                if ch in "mxoeaf":
-                    if i + 1 < len(argv):
-                        val = argv[i + 1]
+    while i < len(args):
+        if args[i].startswith("-"):
+            j = 1
+            while char_at(i, j) != "\0":
+                ch = char_at(i, j)
+                if ch in _VALUED:
+                    if i + 1 < len(args) and not args[i + 1].startswith("-"):
+                        val = args[i + 1]
+                        # the C loop keeps its numeric j index but argv[i]
+                        # now points at the VALUE, so scanning continues at
+                        # position j+1 *inside the value string* (and past
+                        # its terminator via the packed buffer)
                         i += 1
-                        if ch == "m":
-                            opts["match"] = int(val)
-                        elif ch == "x":
-                            opts["mismatch"] = int(val)
-                        elif ch == "o":
-                            opts["gap_open"] = int(val)
-                        elif ch == "e":
-                            opts["gap_extension"] = int(val)
-                        elif ch == "f":
-                            opts["filter"] = int(val)
-                        else:
+                        if ch == "a":
                             opts["mat_file"] = val
+                        else:
+                            opts[_OPT_KEY[ch]] = _atoi(val)
                 elif ch == "p":
                     opts["protein"] = True
                 elif ch == "c":
@@ -84,9 +129,17 @@ def parse_args(argv: list[str]):
                     opts["sam"] = True
                 elif ch == "h":
                     opts["header"] = True
-        else:
-            files.append(arg)
+                j += 1
         i += 1
+
+    # independent file-argument walk (ref: src/main.c:306-317)
+    k = 0
+    while k < len(args) and args[k].startswith("-"):
+        if len(args[k]) > 1 and args[k][1] in _VALUED:
+            k += 2
+        else:
+            k += 1
+    files = args[k:]
     return opts, files
 
 

@@ -32,6 +32,7 @@ ssw_tpu.cli (cli.render_batch), so `align`+`merge` output == `cli` output.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -97,6 +98,13 @@ def main(argv=None, out=None, err=None) -> int:
             n = multihost.merge_shards(args.shards, f)
         err.write(f"merged {n} records into {args.out}\n")
         return 0
+
+    for path in (args.target, args.query):
+        if not os.path.exists(path):
+            # same clean failure as cli.py (the reference segfaults on an
+            # unchecked gzopen, ref: src/main.c:436)
+            err.write(f"Failed to open the file {path}.\n")
+            return 1
 
     import jax
 

@@ -151,8 +151,11 @@ def read_fastx(path: str, bufsize: int = 1 << 16) -> Iterator[FastxRecord]:
                 return
             comment = b""
             if stop != -1 and stop != 0x0A:  # not '\n': comment follows
+                # NB: the '\r' of CRLF input stays in the comment — the
+                # vendored (old) kseq's ks_getuntil(ks, '\n', ...) stops at
+                # the literal '\n' with no \r stripping (ref: src/kseq.h:108,
+                # :180); newer upstream kseq strips it, this version doesn't
                 comment, _ = ks.scan(re.compile(rb"\n"))
-                comment = comment.rstrip(b"\r")
             # sequence: until '>', '+' or '@' anywhere; keep isgraph only
             raw_seq, term = ks.scan(_TERM_RE)
             seq = raw_seq.translate(_IDENT, _NONGRAPH)

@@ -85,10 +85,11 @@ bool next_record(Reader* r) {
         name.push_back(char(c));
     }
     if (c == -1 && name.empty()) { r->done = true; return false; }
-    if (c != -1 && stop != '\n') {  // comment: rest of the line
+    if (c != -1 && stop != '\n') {  // comment: rest of the line, incl. any
+        // trailing '\r' — the vendored old kseq stops at the literal '\n'
+        // and does not strip CR (ref: src/kseq.h:108,180)
         while ((c = r->getc()) != -1 && c != '\n')
             comment.push_back(char(c));
-        while (!comment.empty() && comment.back() == '\r') comment.pop_back();
     }
     // sequence: until '>'/'+'/'@' anywhere; keep isgraph() only
     int term = -1;

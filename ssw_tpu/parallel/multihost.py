@@ -122,6 +122,12 @@ def run_sharded(records: Iterable, plan: ShardPlan,
     n_done = 0
     mode = "a" if journal.done else "w"
     with open(shard_path, mode) as out:
+        if mode == "a":
+            # a run killed mid-write can leave the shard's last line
+            # truncated with no trailing newline; a leading separator stops
+            # the first re-appended record from concatenating onto it (the
+            # orphan fragment is then skipped by merge_shards)
+            out.write("\n")
         if header and mode == "w":
             out.write(json.dumps({"i": -1, "s": header}) + "\n")
         for g, offset, owned in plan.batches(records):
@@ -144,12 +150,17 @@ def merge_shards(shard_paths: Sequence[str], out_stream) -> int:
     Deduplicates by global index keeping the LAST occurrence: a crash after
     a batch's lines were appended but before its journal mark makes the
     resumed run re-append that batch, and the re-run lines supersede the
-    (possibly truncated) first write."""
+    (possibly truncated) first write.  Unparseable lines (the truncated
+    remnant of a mid-write crash) are skipped — the resumed run re-emitted
+    every record the journal had not marked done."""
     latest: dict[int, str] = {}
     for p in shard_paths:
         with open(p) as f:
             for line in f:
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
                 latest[d["i"]] = d["s"]
     n = 0
     for i in sorted(latest):

@@ -334,8 +334,13 @@ def _emit(p: Py2Printer, args, qid, rid, qseq, qqual, q_used, rp, strand,
                 p.item(qqual[rp.read_begin1:rp.read_end1 + 1])
             else:
                 # verbatim slice semantics incl. the reference's off-by-one
-                # at query_end == len-1 (ref: src/pyssw.py:334)
-                p.item(qqual[-rp.read_begin1 - 1:-rp.read_end1 - 1:-1])
+                # at query_end == len-1, AND the source's missing trailing
+                # comma — the Py2 statement `print sQQual[...]` (no comma,
+                # ref: src/pyssw.py:334) emits a newline and resets
+                # softspace mid-record.  Unreachable in the reference (its
+                # `bProtien` typo crashes every -r run) but reproduced
+                # faithfully.
+                p.line(qqual[-rp.read_begin1 - 1:-rp.read_end1 - 1:-1])
         else:
             p.item("*")
         p.item("\tAS:i:{}".format(rp.score1))

@@ -116,3 +116,30 @@ def test_empty_line_suppression(tmp_path):
     buf = io.StringIO()
     assert multihost.merge_shards([shard], buf) == 2
     assert buf.getvalue() == "A\n"
+
+
+def test_truncated_shard_line_on_resume(tmp_path):
+    """A run killed mid-write leaves a truncated (no-newline) shard line;
+    the resumed run must not concatenate onto it and merge must survive
+    the orphan fragment (ADVICE round 1, medium)."""
+    recs = [f"r{i}" for i in range(8)]
+    plan = multihost.ShardPlan(num_hosts=1, host_id=0, batch_size=4)
+    shard = str(tmp_path / "s")
+    journal = str(tmp_path / "j")
+
+    # run 1: batch 0 completes, then the process dies mid-write of batch 1
+    # (journal has batch 0 only; shard ends in a truncated JSON line)
+    multihost.run_sharded(recs[:4], plan,
+                          lambda owned: [r + "\n" for r in owned],
+                          shard, journal_path=journal)
+    with open(shard, "a") as f:
+        f.write('{"i": 4, "s": "r4')  # truncated, no newline
+
+    # resumed run reprocesses batch 1 (journal says batch 0 done)
+    multihost.run_sharded(recs, plan,
+                          lambda owned: [r + "\n" for r in owned],
+                          shard, journal_path=journal)
+    buf = io.StringIO()
+    total = multihost.merge_shards([shard], buf)
+    assert total == 8
+    assert buf.getvalue() == "".join(f"r{i}\n" for i in range(8))

@@ -110,3 +110,14 @@ def test_cli_parity_on_ncbi_style_fasta(tmp_path):
     ref = subprocess.run([str(binary)] + args, capture_output=True,
                          text=True, timeout=120)
     assert out.getvalue() == ref.stdout
+
+
+def test_crlf_comment_keeps_carriage_return(tmp_path):
+    """Old kseq's ks_getuntil(ks, '\\n', &comment) stops at the literal
+    '\\n' and does NOT strip '\\r' — CRLF input leaves the CR in the
+    comment (ref: src/kseq.h:108,180; ADVICE round 1)."""
+    p = write(tmp_path, ">r1 desc here\r\nACGT\r\n")
+    (name, comment, seq, qual), = recs(p)
+    assert name == "r1"
+    assert comment == "desc here\r"
+    assert seq == "ACGT"

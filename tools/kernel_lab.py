@@ -1,0 +1,259 @@
+"""Microbenchmark lab for the forward-DP Pallas kernel: measures variants
+that add/remove pieces of the per-column work, to locate where the cycles
+go (VERDICT round-1 item 1: push int32 throughput toward VPU SoL).
+
+Variants (cumulative structure, one switch each):
+  full       -- the production kernel structure (pallas_sw equivalent)
+  nostore    -- per-column maxcol select-store removed
+  notrack    -- maxcol + gmax/end/h_best trackers removed (pure DP)
+  nodp       -- trackers only (DP recurrence replaced by 1 add)  [sanity]
+  maskstore  -- maxcol store via pltpu.store(mask=...) instead of select
+  concat     -- maxcol accumulated via per-UNROLL concat, stored per tile
+
+Timing: queue REPS calls, force one device->host transfer (axon
+block_until_ready does not block; see BENCH.md).
+
+Usage: python tools/kernel_lab.py [variant ...]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2 ** 28)
+COL_BLOCK = 256
+UNROLL = 16
+
+B, L = 128, 256
+NBLOCKS = 128          # 32768 reference columns per call
+REPS = 8
+
+def set_shape(b, l, nblocks):
+    global B, L, NBLOCKS
+    B, L, NBLOCKS = b, l, nblocks
+
+
+def _shift_right(x, s, fill):
+    return jnp.pad(x, ((0, 0), (s, 0)), constant_values=fill)[:, :-s]
+
+
+def _prefix_max(x, L, neg):
+    s = 1
+    while s < L:
+        x = jnp.maximum(x, _shift_right(x, s, neg))
+        s *= 2
+    return x
+
+
+def _prefix_max_r4(x, L, neg):
+    """Radix-4 scan: fewer dependent steps (3/step incl. shift), more ops."""
+    s = 1
+    while s < L:
+        a = _shift_right(x, s, neg)
+        if 2 * s < L:
+            b = _shift_right(x, 2 * s, neg)
+            c = _shift_right(x, 3 * s, neg) if 3 * s < L else None
+            m2 = jnp.maximum(a, b) if c is None else jnp.maximum(
+                jnp.maximum(a, b), c)
+            x = jnp.maximum(x, m2)
+        else:
+            x = jnp.maximum(x, a)
+        s *= 4
+    return x
+
+
+def make_kernel(variant: str, unroll: int = UNROLL):
+    do_dp = variant not in ("nodp", "skeleton")
+    do_track = variant not in ("notrack", "noprof_notrack", "skeleton")
+    do_store = variant not in ("nostore", "notrack", "noprof_notrack",
+                               "skeleton")
+    do_prof = variant not in ("noprofile", "noprof_notrack", "skeleton",
+                              "selectchain")
+    scan_bound = 32 if variant == "shortscan" else None
+    radix4 = variant == "radix4"
+    if variant in ("shortscan", "radix4"):
+        do_track = False
+        do_store = False
+
+    def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
+               maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
+               H_ref, E_ref, *, gapO, gapE):
+        block = pl.program_id(0)
+        neg = jnp.int32(NEG)
+
+        @pl.when(block == 0)
+        def _init():
+            H_ref[...] = jnp.zeros_like(H_ref)
+            E_ref[...] = jnp.zeros_like(E_ref)
+            gmax_ref[...] = jnp.zeros_like(gmax_ref)
+            end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
+            h_best_ref[...] = jnp.zeros_like(h_best_ref)
+
+        dmg = dmg_ref[...]
+        gmd = gmd_ref[...]
+        maskneg = maskneg_ref[...]
+
+        def body(jj, _):
+            cols = []
+            for u in range(unroll):
+                j = jj * unroll + u
+                code = ref_ref[0, 0, j]
+                if do_prof:
+                    sub = profile_ref[code]
+                elif variant == "selectchain":
+                    sub = profile_ref[0]
+                    for k in range(1, 6):
+                        sub = jnp.where(code == k, profile_ref[k], sub)
+                else:
+                    sub = dmg
+                H = H_ref[...]
+                E = E_ref[...]
+                if do_dp:
+                    h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
+                    h_tilde = jnp.maximum(jnp.maximum(h_diag, E),
+                                          jnp.int32(0))
+                    c = h_tilde + dmg
+                    if scan_bound:
+                        cm = _prefix_max(c, scan_bound, neg)
+                    elif radix4:
+                        cm = _prefix_max_r4(c, L, neg)
+                    else:
+                        cm = _prefix_max(c, L, neg)
+                    F = _shift_right(cm, 1, neg) + gmd
+                    H = jnp.maximum(h_tilde, F)
+                    E = jnp.maximum(
+                        jnp.maximum(E - jnp.int32(gapE), H - jnp.int32(gapO)),
+                        jnp.int32(0))
+                else:
+                    H = H + sub
+                H_ref[...] = H
+                E_ref[...] = E
+
+                if do_track:
+                    colmax = jnp.max(H + maskneg, axis=1, keepdims=True)
+                    if do_store:
+                        if variant == "maskstore":
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (B, COL_BLOCK), 1)
+                            pltpu.store(
+                                maxcol_ref,
+                                jnp.broadcast_to(colmax, (B, COL_BLOCK)),
+                                mask=lane == j)
+                        elif variant == "concat":
+                            cols.append(colmax)
+                        else:
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (B, COL_BLOCK), 1)
+                            maxcol_ref[...] = jnp.where(
+                                lane == j, colmax, maxcol_ref[...])
+                    gmax = gmax_ref[...]
+                    upd = colmax > gmax
+                    gmax_ref[...] = jnp.where(upd, colmax, gmax)
+                    end_ref_ref[...] = jnp.where(
+                        upd, block * COL_BLOCK + j, end_ref_ref[...])
+                    h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
+            if variant == "concat":
+                tile = jnp.concatenate(cols, axis=1)  # (B, unroll)
+                maxcol_ref[:, pl.ds(jj * unroll, unroll)] = tile
+            return 0
+
+        jax.lax.fori_loop(0, COL_BLOCK // unroll, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "unroll"))
+def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL):
+    kernel = functools.partial(make_kernel(variant, unroll), gapO=3, gapE=1)
+    n1 = profile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(NBLOCKS,),
+        in_specs=[
+            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n1, B, L), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.int32),
+            pltpu.VMEM((B, L), jnp.int32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, NBLOCKS * COL_BLOCK), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+    )
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape)(
+        ref_blocks, profile, dmg, gmd, maskneg)
+
+
+def main():
+    variants = sys.argv[1:] or ["full", "full#64", "full#256", "full#512",
+                                "full#1024", "full#256x512"]
+    rng = np.random.default_rng(0)
+    n1 = 6
+    for label in variants:
+        v = label
+        unroll = UNROLL
+        b, l, nb = 128, 256, 128
+        if "@" in v:
+            v, s = v.split("@")
+            unroll = int(s)
+        if "#" in v:
+            v, s = v.split("#")
+            if "x" in s:
+                b, l = (int(x) for x in s.split("x"))
+            else:
+                b = int(s)
+            nb = max(1, (128 * 128 * 256) // (b * l))
+        set_shape(b, l, nb)
+        profile = jnp.asarray(rng.integers(-2, 3, (n1, B, L)), jnp.int32)
+        ref_blocks = jnp.asarray(
+            rng.integers(0, 4, (NBLOCKS, 1, COL_BLOCK)), jnp.int32)
+        decay = (jnp.arange(L, dtype=jnp.int32) * 1)[None, :]
+        dmg = jnp.broadcast_to(decay - 3, (B, L)).astype(jnp.int32)
+        gmd = jnp.broadcast_to(1 - decay, (B, L)).astype(jnp.int32)
+        maskneg = jnp.zeros((B, L), jnp.int32)
+        cells = B * L * NBLOCKS * COL_BLOCK
+        try:
+            outs = run(profile, ref_blocks, dmg, gmd, maskneg, v, unroll)
+            np.asarray(outs[1])  # force
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                outs = run(profile, ref_blocks, dmg, gmd, maskneg, v, unroll)
+            np.asarray(outs[1])
+            dt = (time.perf_counter() - t0 - 0.028) / REPS
+            rate = cells / dt / 1e9
+            print(f"{label:16s}: {dt*1e3:8.2f} ms/call   "
+                  f"{rate:8.1f} G lane-cells/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label:16s}: FAIL {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
