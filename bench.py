@@ -70,6 +70,8 @@ def main():
         return kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,
                                          False, **kw)
 
+    from ssw_tpu import profiling
+
     profiles = [make_batch(s) for s in range(1 + (READS // B))]
     int(np.asarray(run(profiles[0])[0])[0])  # compile + warm + sync
     n_batches = READS // B
@@ -77,13 +79,13 @@ def main():
     # executes queued programs in order, and on this harness a transfer is
     # the only reliable completion barrier (block_until_ready is a no-op
     # over the tunnel) -- one barrier instead of per-call round-trips
-    t0 = time.perf_counter()
-    outs = [run(profiles[1 + i]) for i in range(n_batches)]
-    int(np.asarray(outs[-1][0])[0])
-    dt = time.perf_counter() - t0
+    counter = profiling.GcupsCounter()
+    counter.add_pairs([READ_LEN] * READS, R)
+    with counter.phase("device"):
+        outs = [run(profiles[1 + i]) for i in range(n_batches)]
+        int(np.asarray(outs[-1][0])[0])
 
-    cells = float(READS) * READ_LEN * R
-    gcups = cells / dt / 1e9
+    gcups = counter.gcups("device")
     print(json.dumps({
         "metric": "GCUPS",
         "value": round(gcups, 2),

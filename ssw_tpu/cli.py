@@ -19,6 +19,7 @@ Implementation differences (documented):
 
 from __future__ import annotations
 
+import contextlib
 import io
 import os
 import re
@@ -187,8 +188,19 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
         sam = False
 
     start = time.process_time()
-    targets = read_fastx_all(target_path)
-    enc_targets = [encode_with_table(t.seq, table) for t in targets]
+    # opt-in observability (VERDICT round-1 item 4): SSW_TPU_PROFILE=1
+    # prints a per-phase GCUPS report to stderr after the CPU-time line
+    # and SSW_TPU_TRACE=<dir> captures a jax.profiler trace
+    from ssw_tpu import profiling
+    counter = (profiling.GcupsCounter()
+               if os.environ.get("SSW_TPU_PROFILE") else None)
+    ctx = contextlib.ExitStack()
+    if counter is not None:
+        ctx.enter_context(pipeline.profiled(counter))
+        ctx.enter_context(profiling.trace(os.environ.get("SSW_TPU_TRACE")))
+    with counter.phase("parse_target") if counter else contextlib.nullcontext():
+        targets = read_fastx_all(target_path)
+        enc_targets = [encode_with_table(t.seq, table) for t in targets]
 
     rc_allowed = opts["reverse"] and n == 5
     flag = 2 if opts["path"] else 0
@@ -206,22 +218,25 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
         batch.clear()
         return 0
 
-    for rec in read_fastx(query_path):
-        if opts["reverse"] and n == 24:
-            err.write("Reverse complement alignment is not available for "
-                      "protein sequences. \n")
-            return 1
-        entry = {"rec": rec, "num": encode_with_table(rec.seq, table)}
-        if rc_allowed:
-            entry["rc"] = reverse_complement(rec.seq)
-            entry["num_rc"] = encode_with_table(entry["rc"], table)
-        batch.append(entry)
-        if len(batch) >= batch_size:
-            flush_batch()
-    flush_batch()
+    with ctx:
+        for rec in read_fastx(query_path):
+            if opts["reverse"] and n == 24:
+                err.write("Reverse complement alignment is not available "
+                          "for protein sequences. \n")
+                return 1
+            entry = {"rec": rec, "num": encode_with_table(rec.seq, table)}
+            if rc_allowed:
+                entry["rc"] = reverse_complement(rec.seq)
+                entry["num_rc"] = encode_with_table(entry["rc"], table)
+            batch.append(entry)
+            if len(batch) >= batch_size:
+                flush_batch()
+        flush_batch()
 
     cpu_time = time.process_time() - start
     err.write(f"CPU time: {cpu_time:f} seconds\n")
+    if counter is not None:
+        err.write(counter.report() + "\n")
     return 0
 
 

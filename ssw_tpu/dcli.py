@@ -65,6 +65,8 @@ def _build_parser():
     a.add_argument("--batch-size", type=int, default=2048)
     a.add_argument("--mesh-seq", type=int, default=1,
                    help="sequence-parallel factor over local devices")
+    a.add_argument("--profile", action="store_true",
+                   help="per-phase GCUPS report on stderr at exit")
     a.add_argument("--journal", default=None,
                    help="journal path prefix (enables resume)")
     a.add_argument("--out", required=True, help="shard path prefix")
@@ -171,14 +173,25 @@ def main(argv=None, out=None, err=None) -> int:
         lines += [f"@SQ\tSN:{t.name}\tLN:{len(t.seq)}\n" for t in targets]
         header_text = "".join(lines)
 
+    import contextlib
+
+    from ssw_tpu import pipeline, profiling
+    counter = (profiling.GcupsCounter()
+               if args.profile or os.environ.get("SSW_TPU_PROFILE")
+               else None)
+    ctx = (pipeline.profiled(counter) if counter is not None
+           else contextlib.nullcontext())
     t0 = time.perf_counter()
-    records = read_fastx(args.query)
-    n_done = multihost.run_sharded(records, plan, align_fn, shard_path,
-                                   journal, header=header_text or None)
+    with ctx:
+        records = read_fastx(args.query)
+        n_done = multihost.run_sharded(records, plan, align_fn, shard_path,
+                                       journal, header=header_text or None)
     dt = time.perf_counter() - t0
     err.write(f"host {args.host_id}/{args.num_hosts}: {n_done} reads in "
               f"{dt:.3f}s ({n_done / dt if dt else 0:.1f} reads/s) -> "
               f"{shard_path}\n")
+    if counter is not None:
+        err.write(counter.report() + "\n")
     return 0
 
 

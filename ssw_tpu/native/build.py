@@ -31,7 +31,7 @@ def _compile() -> bool:
     # never dlopen a half-written .so
     tmp = _LIB_PATH + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", tmp, *srcs, "-lz"]
+           "-pthread", "-o", tmp, *srcs, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, _LIB_PATH)

@@ -11,8 +11,10 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libsswtpu.so traceback.cpp fastio.cpp -lz
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -237,8 +239,13 @@ int32_t sswtpu_banded_cigar(const int8_t* ref, int32_t ref_len,
 }
 
 // Batch driver: cigars for many (ref window, read window) pairs in one call.
-// Layout: concatenated windows with per-pair offsets/lengths; results packed
-// into out_cigars with per-pair (offset, len) written to out_meta[2*i..].
+// Layout: concatenated windows with per-pair offsets/lengths.  Every pair
+// writes into its own pre-sized slice of out_cigars (offset = the same
+// 2*(ref+read)+8 bound the per-pair wrapper uses, accumulated by the
+// caller), so pairs are independent and run on a thread pool — the
+// reference's traceback is strictly serial per pair (ref: src/ssw.c:940-957)
+// but pairs never share state.  out_meta[2p] = offset, out_meta[2p+1] =
+// cigar length (0: banded failure -> flag=1 parity; -1: capacity overflow).
 void sswtpu_banded_cigar_batch(const int8_t* refs, const int64_t* ref_off,
                                const int32_t* ref_len, const int8_t* reads,
                                const int64_t* read_off,
@@ -248,21 +255,42 @@ void sswtpu_banded_cigar_batch(const int8_t* refs, const int64_t* ref_off,
                                const int8_t* mat, int32_t n,
                                uint32_t* out_cigars, int64_t out_cap,
                                int64_t* out_meta) {
+    // per-pair output offsets from the deterministic capacity bound
     int64_t pos = 0;
     for (int32_t p = 0; p < n_pairs; ++p) {
-        int32_t cap = int32_t(out_cap - pos);
-        int32_t written = 0;
-        if (cap > 0) {
-            written = sswtpu_banded_cigar(
-                refs + ref_off[p], ref_len[p], reads + read_off[p],
-                read_len[p], scores[p], gap_open, gap_ext, mat, n,
-                out_cigars + pos, cap);
-        }
-        if (written < 0) written = -1;  // buffer overflow marker
         out_meta[2 * p] = pos;
-        out_meta[2 * p + 1] = written;
-        if (written > 0) pos += written;
+        pos += 2 * (int64_t(ref_len[p]) + read_len[p]) + 8;
     }
+    auto work = [&](int32_t p) {
+        int64_t off = out_meta[2 * p];
+        int64_t cap64 = 2 * (int64_t(ref_len[p]) + read_len[p]) + 8;
+        if (off + cap64 > out_cap) { out_meta[2 * p + 1] = -1; return; }
+        int32_t written = sswtpu_banded_cigar(
+            refs + ref_off[p], ref_len[p], reads + read_off[p],
+            read_len[p], scores[p], gap_open, gap_ext, mat, n,
+            out_cigars + off, int32_t(cap64));
+        out_meta[2 * p + 1] = written < 0 ? -1 : written;
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int32_t n_threads = int32_t(hw ? hw : 1);
+    if (n_threads > n_pairs) n_threads = n_pairs;
+    if (n_threads <= 1 || n_pairs < 4) {
+        for (int32_t p = 0; p < n_pairs; ++p) work(p);
+        return;
+    }
+    std::atomic<int32_t> next(0);
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) {
+        pool.emplace_back([&]() {
+            for (;;) {
+                int32_t p = next.fetch_add(1);
+                if (p >= n_pairs) return;
+                work(p);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -60,3 +60,49 @@ def banded_cigar(sub_ref: np.ndarray, sub_read: np.ndarray, score: int,
         if band_width >= full_band:
             return None
         band_width = full_band
+
+
+def banded_cigar_batch(sub_refs, sub_reads, scores, gapO: int, gapE: int,
+                       mat: np.ndarray):
+    """Cigars for many sub-rectangles in ONE native call (threaded C++
+    loop); per-pair results are list[int] or None (banded failure).
+    Falls back to the per-pair path when the native engine is absent."""
+    lib = native_build.load()
+    n_pairs = len(sub_refs)
+    if lib is None or n_pairs == 0:
+        return [banded_cigar(r, q, s, gapO, gapE, mat)
+                for r, q, s in zip(sub_refs, sub_reads, scores)]
+    refs8 = [np.ascontiguousarray(r, dtype=np.int8) for r in sub_refs]
+    reads8 = [np.ascontiguousarray(q, dtype=np.int8) for q in sub_reads]
+    ref_cat = (np.concatenate(refs8) if refs8 else
+               np.empty(0, np.int8))
+    read_cat = (np.concatenate(reads8) if reads8 else
+                np.empty(0, np.int8))
+    ref_len = np.array([len(r) for r in refs8], np.int32)
+    read_len = np.array([len(q) for q in reads8], np.int32)
+    ref_off = np.zeros(n_pairs, np.int64)
+    np.cumsum(ref_len[:-1], out=ref_off[1:])
+    read_off = np.zeros(n_pairs, np.int64)
+    np.cumsum(read_len[:-1], out=read_off[1:])
+    sc = np.asarray(scores, np.int32)
+    mat8 = np.ascontiguousarray(mat, dtype=np.int8)
+    out_cap = int((2 * (ref_len.astype(np.int64) + read_len) + 8).sum())
+    out = np.empty(out_cap, np.uint32)
+    meta = np.empty(2 * n_pairs, np.int64)
+    lib.sswtpu_banded_cigar_batch(
+        ref_cat.ctypes.data_as(ctypes.c_void_p),
+        ref_off.ctypes.data_as(ctypes.c_void_p),
+        ref_len.ctypes.data_as(ctypes.c_void_p),
+        read_cat.ctypes.data_as(ctypes.c_void_p),
+        read_off.ctypes.data_as(ctypes.c_void_p),
+        read_len.ctypes.data_as(ctypes.c_void_p),
+        sc.ctypes.data_as(ctypes.c_void_p), n_pairs, int(gapO), int(gapE),
+        mat8.ctypes.data_as(ctypes.c_void_p), mat8.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p), out_cap,
+        meta.ctypes.data_as(ctypes.c_void_p))
+    results = []
+    for p in range(n_pairs):
+        off, ln = int(meta[2 * p]), int(meta[2 * p + 1])
+        results.append([int(x) for x in out[off:off + ln]] if ln > 0
+                       else None)
+    return results

@@ -337,6 +337,189 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
                  for k in range(4))
 
 
+REV_CB = 16  # columns per grid step in the per-read-window kernel: the
+             # streamed substitution block is (B, REV_CB, L) in VMEM, so
+             # REV_CB bounds VMEM at ~2 MB per buffer at the lane sweet spot
+
+
+def _perread_kernel(subs_ref,          # VMEM (B, REV_CB, L) gathered subs
+                    term_ref,          # VMEM (B, 1) terminate scores
+                    dmg_ref, gmd_ref, maskneg_ref,       # VMEM (B, L)
+                    seg_bias_ref, seg_reset_ref,         # VMEM (B, L)
+                    gmax_ref,          # out VMEM (B, 1) int32
+                    end_ref_ref,       # out VMEM (B, 1) int32
+                    h_best_ref,        # out VMEM (B, L) int32
+                    H_ref, E_ref,      # scratch VMEM (B, L)
+                    done_ref,          # scratch VMEM (B, 1) int32
+                    *, gapO: int, gapE: int, L: int, quirk: bool):
+    """Begin-finding pass: per-read reference windows with the reference's
+    terminate-at-score1 column-loop break (ref: src/ssw.c:339-341,918-930).
+    Same DP recurrence as _forward_kernel; the profile gather happens
+    outside (XLA take_along_axis) and streams in as per-column (B, L)
+    substitution slabs."""
+    block = pl.program_id(0)
+    neg = jnp.int32(NEG)
+
+    @pl.when(block == 0)
+    def _init():
+        H_ref[...] = jnp.zeros_like(H_ref)
+        E_ref[...] = jnp.zeros_like(E_ref)
+        gmax_ref[...] = jnp.zeros_like(gmax_ref)
+        end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
+        h_best_ref[...] = jnp.zeros_like(h_best_ref)
+        done_ref[...] = jnp.zeros_like(done_ref)
+
+    dmg = dmg_ref[...]
+    gmd = gmd_ref[...]
+    maskneg = maskneg_ref[...]
+    term = term_ref[...]
+    if quirk:
+        seg_bias = seg_bias_ref[...]
+        seg_reset = seg_reset_ref[...]
+        decay_q = -(gmd - gapE)
+
+    for u in range(REV_CB):
+        sub = subs_ref[:, u, :]
+        H = H_ref[...]
+        E = E_ref[...]
+        h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
+        h_tilde = jnp.maximum(jnp.maximum(h_diag, E), jnp.int32(0))
+        c = h_tilde + dmg
+        cm = _prefix_max(c, L, neg)
+        F = _shift_right(cm, 1, neg) + gmd
+        H = jnp.maximum(h_tilde, F)
+        if quirk:
+            cs = _prefix_max(c + seg_bias, L, neg,
+                             bound=max(L // 8, 1)) - seg_bias
+            F_loc = _shift_right(cs, 1, neg) - decay_q + gapE
+            F_loc = jnp.where(seg_reset > 0, 0, jnp.maximum(F_loc, 0))
+            h_fp = jnp.maximum(h_tilde, F_loc)
+        else:
+            h_fp = H
+        E = jnp.maximum(jnp.maximum(E - jnp.int32(gapE),
+                                    h_fp - jnp.int32(gapO)), jnp.int32(0))
+        H_ref[...] = H
+        E_ref[...] = E
+
+        colmax = jnp.maximum(
+            jnp.max(H + maskneg, axis=1, keepdims=True), 0)  # (B, 1)
+        done = done_ref[...]
+        gmax = gmax_ref[...]
+        upd = (colmax > gmax) & (done == 0)
+        gmax_ref[...] = jnp.where(upd, colmax, gmax)
+        end_ref_ref[...] = jnp.where(upd, block * REV_CB + u,
+                                     end_ref_ref[...])
+        h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
+        done_ref[...] = done | (colmax == term).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
+                                              "interpret"))
+def _perread_call(subs, term, col_mask, seg_id, seg_start,
+                  gapO: int, gapE: int, quirk: bool, interpret: bool):
+    B, W, L = subs.shape
+    nblocks = W // REV_CB
+    kernel = functools.partial(_perread_kernel, gapO=gapO, gapE=gapE, L=L,
+                               quirk=quirk)
+    decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
+    dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(jnp.int32)
+    gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(jnp.int32)
+    maskneg = jnp.where(col_mask > 0, 0, NEG).astype(jnp.int32)
+    seg_bias = (seg_id * SEG_BUMP).astype(jnp.int32)
+    seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    seg_reset = (seg_start | (seg_prev != seg_id)).astype(jnp.int32)
+    vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((B, REV_CB, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem(), vmem(), vmem(), vmem(), vmem(),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.int32),
+            pltpu.VMEM((B, L), jnp.int32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+    )
+    cost = pl.CostEstimate(
+        flops=int(W) * B * L * 40,
+        bytes_accessed=int(W) * B * L * 4,
+        transcendentals=0,
+    )
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          cost_estimate=cost, interpret=interpret)(
+        subs, term, dmg, gmd, maskneg, seg_bias, seg_reset)
+
+
+def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
+                        gapO: int, gapE: int, quirk: bool = True,
+                        terminate=None):
+    """Pallas drop-in for scan_sw.forward_perread_ref (ref: the reverse
+    begin-finding pass, src/ssw.c:918-930): every read has its own (B, W)
+    reference window.  The per-column profile gather is hoisted out of the
+    kernel — XLA computes subs[b, w, :] = profile[b, refw[b, w], :] once
+    and the kernel streams (B, REV_CB, L) slabs from HBM, overlapping the
+    DMA with the DP chain."""
+    B, n1, L = profile.shape
+    W = refw.shape[1]
+    Wp = (W + REV_CB - 1) // REV_CB * REV_CB
+    refw_p = jnp.concatenate(
+        [refw.astype(jnp.int32),
+         jnp.full((B, Wp - W), n1 - 1, jnp.int32)], axis=1)
+    if terminate is None:
+        terminate = jnp.full((B,), -1, jnp.int32)
+    interpret = jax.devices()[0].platform == "cpu"
+    subs = jnp.take_along_axis(profile.astype(jnp.int32),
+                               refw_p[:, :, None], axis=1)
+    b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
+    outs = []
+    for lo in range(0, B, b_opt):
+        hi = min(lo + b_opt, B)
+        Bc = hi - lo
+        Bp = min(b_opt, (Bc + 63) // 64 * 64)
+        pad = Bp - Bc
+
+        def take(arr, fill):
+            part = arr[lo:hi].astype(jnp.int32)
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.full((pad,) + part.shape[1:], fill,
+                                    jnp.int32)])
+            return part
+
+        gmax, end_ref, h_best = _perread_call(
+            take(subs, 0), take(terminate, -1)[:, None], take(col_mask, 0),
+            take(seg_id, 0), take(seg_start, 1), gapO, gapE, quirk,
+            interpret)
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        rl = read_len[lo:hi]
+        gmax = gmax[:Bc]
+        hit = ((h_best[:Bc] == gmax) & (j < rl[:, None]) & (gmax > 0))
+        cand = jnp.where(hit, j, L)
+        end_read = jnp.min(cand, axis=1)
+        end_read = jnp.where(end_read == L, rl - 1, end_read)
+        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
+                 for k in range(3))
+
+
 def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
                              seg_id, seg_start, gapO: int, gapE: int,
                              quirk: bool = True, max_sub: int | None = None):

@@ -121,12 +121,18 @@ def run_sharded(records: Iterable, plan: ShardPlan,
     journal = Journal(journal_path)
     n_done = 0
     mode = "a" if journal.done else "w"
+    needs_guard = False
+    if mode == "a" and os.path.exists(shard_path) \
+            and os.path.getsize(shard_path) > 0:
+        # a run killed mid-write can leave the shard's last line truncated
+        # with no trailing newline; a leading separator stops the first
+        # re-appended record from concatenating onto it (the orphan
+        # fragment is then skipped by merge_shards)
+        with open(shard_path, "rb") as f:
+            f.seek(-1, os.SEEK_END)
+            needs_guard = f.read(1) != b"\n"
     with open(shard_path, mode) as out:
-        if mode == "a":
-            # a run killed mid-write can leave the shard's last line
-            # truncated with no trailing newline; a leading separator stops
-            # the first re-appended record from concatenating onto it (the
-            # orphan fragment is then skipped by merge_shards)
+        if needs_guard:
             out.write("\n")
         if header and mode == "w":
             out.write(json.dumps({"i": -1, "s": header}) + "\n")

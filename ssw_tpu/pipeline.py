@@ -21,6 +21,7 @@ is lossy there; see core/oracle.py).
 
 from __future__ import annotations
 
+import contextlib
 import sys
 from dataclasses import dataclass
 
@@ -31,6 +32,29 @@ import numpy as np
 from ssw_tpu.core import oracle
 from ssw_tpu.core.encoding import matrix_bias
 from ssw_tpu.ops import common, scan_sw
+
+# -- observability hook (ssw_tpu/profiling.py) ----------------------------
+# an active GcupsCounter collects per-phase seconds + useful-cell counts
+# from every align_batch call in the context (sub-batches and length
+# buckets recurse; the module-level slot keeps them on one counter)
+_counter = None
+
+
+@contextlib.contextmanager
+def profiled(counter):
+    """Route phase timings/cell counts of enclosed align_batch calls into
+    `counter` (a profiling.GcupsCounter)."""
+    global _counter
+    prev, _counter = _counter, counter
+    try:
+        yield counter
+    finally:
+        _counter = prev
+
+
+def _phase(name: str):
+    return _counter.phase(name) if _counter is not None \
+        else contextlib.nullcontext()
 
 
 @dataclass
@@ -239,12 +263,15 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
                 L, read_len,
                 np.where(might[:, None], geo_w_rows.col_mask, geo.col_mask),
                 geo.seg_id, geo.seg_start)
-    score, end_ref, end_read, max_col = _forward(
-        jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
-        backend, max_sub)
-    score = np.array(score)
-    end_ref = np.array(end_ref)
-    end_read = np.array(end_read)
+    if _counter is not None:
+        _counter.add_pairs(read_len[:B], ref_len)
+    with _phase("forward"):
+        score, end_ref, end_read, max_col = _forward(
+            jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
+            backend, max_sub)
+        score = np.array(score)
+        end_ref = np.array(end_ref)
+        end_read = np.array(end_read)
 
     word = np.full(Bp, word_tier)
     word_sub = None  # (idx, rerun suboptimal inputs, tier) from the rerun
@@ -268,12 +295,15 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             geo_r = common.batch_geometry(read_len[idx_p], L,
                                           word=rerun_word)
             prof_r = profile[idx_p]
-            s_r, er_r, ed_r, mc_r = _forward(
-                jnp.asarray(prof_r), ref_codes, geo_r, req.gapO, req.gapE,
-                quirk, backend, max_sub)
-            score[idx] = np.asarray(s_r)[:k]
-            end_ref[idx] = np.asarray(er_r)[:k]
-            end_read[idx] = np.asarray(ed_r)[:k]
+            with _phase("rerun"):
+                if _counter is not None:
+                    _counter.add_pairs(read_len[idx], ref_len)
+                s_r, er_r, ed_r, mc_r = _forward(
+                    jnp.asarray(prof_r), ref_codes, geo_r, req.gapO,
+                    req.gapE, quirk, backend, max_sub)
+                score[idx] = np.asarray(s_r)[:k]
+                end_ref[idx] = np.asarray(er_r)[:k]
+                end_read[idx] = np.asarray(ed_r)[:k]
             # the rerun tier's suboptimal scan runs directly on the rerun's
             # per-column maxima: splicing them into the main (B, R) array
             # would double a multi-GB buffer for long targets
@@ -286,18 +316,19 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
 
     # suboptimal scores (tier-aware window edges; padded shapes for compile
     # stability, sliced to B below)
-    score2, ref_end2 = scan_sw.second_best_batch(
-        jnp.asarray(max_col), jnp.asarray(end_ref),
-        jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
-    score2 = np.array(score2)
-    ref_end2 = np.array(ref_end2)
-    if word_sub is not None:
-        idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
-        s2_r, re2_r = scan_sw.second_best_batch(
-            mc_r, er_r, ml_r, ref_len,
-            jnp.full(mc_r.shape[0], rerun_word, bool))
-        score2[idx] = np.asarray(s2_r)[:k]
-        ref_end2[idx] = np.asarray(re2_r)[:k]
+    with _phase("suboptimal"):
+        score2, ref_end2 = scan_sw.second_best_batch(
+            jnp.asarray(max_col), jnp.asarray(end_ref),
+            jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
+        score2 = np.array(score2)
+        ref_end2 = np.array(ref_end2)
+        if word_sub is not None:
+            idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
+            s2_r, re2_r = scan_sw.second_best_batch(
+                mc_r, er_r, ml_r, ref_len,
+                jnp.full(mc_r.shape[0], rerun_word, bool))
+            score2[idx] = np.asarray(s2_r)[:k]
+            ref_end2[idx] = np.asarray(re2_r)[:k]
 
     # drop the shape-stability padding before the host stages: duplicates
     # must not emit warnings or run extra reverse passes / tracebacks
@@ -351,8 +382,10 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
         idx = np.nonzero(sel)[0]
         W = _window_len(int((end_read[idx] + 1).max()), ref_len, req.mat,
                         req.gapO, req.gapE)
-        rb, qb, rev_score = _reverse_pass(req, idx, end_ref, end_read,
-                                          score, W, mat_ext, tier, backend)
+        with _phase("reverse"):
+            rb, qb, rev_score = _reverse_pass(req, idx, end_ref, end_read,
+                                              score, W, mat_ext, tier,
+                                              backend)
         ref_begin[idx] = rb
         read_begin[idx] = qb
         # ref: src/ssw.c:932-935 — the banded traceback will miss a part
@@ -362,6 +395,7 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
                          "sequences may miss a small part. "
                          "[ssw.c ssw_align]\n")
 
+    cigar_jobs: list[tuple[int, oracle.AlignResult]] = []
     for b in range(B):
         if null_mask[b]:
             results.append(None)
@@ -389,9 +423,26 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
                     r.read_end1 - r.read_begin1 > req.filterd):
                 do_cigar = False
         if do_cigar:
-            attach_cigar(r, req.reads[b], req.ref, req.mat, req.gapO,
-                         req.gapE)
+            cigar_jobs.append((b, r))
         results.append(r)
+    if cigar_jobs:
+        # one threaded native call for the whole batch's tracebacks
+        # (ref: src/ssw.c:940-957 runs per pair; pairs are independent)
+        from ssw_tpu.ops import banded
+
+        with _phase("traceback"):
+            paths = banded.banded_cigar_batch(
+                [req.ref[r.ref_begin1:r.ref_end1 + 1]
+                 for _, r in cigar_jobs],
+                [req.reads[b][r.read_begin1:r.read_end1 + 1]
+                 for b, r in cigar_jobs],
+                [r.score1 for _, r in cigar_jobs],
+                req.gapO, req.gapE, req.mat)
+        for (_, r), path in zip(cigar_jobs, paths):
+            if path is None:
+                r.flag = 1
+            else:
+                r.cigar = path
     return results
 
 
@@ -449,25 +500,52 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
             word_mask, backend=backend, max_sub=max_sub)
         return [np.array(x) for x in out]  # writable copies
 
+    # speculative tier masks, like align_batch: when the quirk is off the
+    # tiers differ only in col_mask row padding, so potentially-overflowing
+    # reads get word rows (and word suboptimal edges) up front; only
+    # might-but-didn't reads re-run, with byte rows.  Quirk on: word-tier
+    # reads re-run with word geometry (the whole DP is tier-dependent).
+    might = np.zeros(Bp, dtype=bool)
+    if req.score_size == 2 and not quirk:
+        might = read_len.astype(np.int64) * max_sub + bias >= 255
+        if might.any():
+            geo_w_rows = common.batch_geometry(read_len, L, word=True)
+            geo = common.BatchGeometry(
+                L, read_len,
+                np.where(might[:, None], geo_w_rows.col_mask, geo.col_mask),
+                geo.seg_id, geo.seg_start)
     word = np.full(Bp, word_tier)
     score, end_ref, end_read, score2, ref_end2 = fwd(
-        profile, geo, jnp.asarray(word))
+        profile, geo, jnp.asarray(word | might))
     if req.score_size == 2:
         need_word = score + bias >= 255
-        if need_word.any():
-            # rerun the whole padded batch in word geometry and splice the
-            # overflowed rows (keeps the batch D-divisible without a second
-            # padding round; the extra rows are discarded)
-            geo_w = common.batch_geometry(read_len, L, word=True)
-            s_w, er_w, ed_w, s2_w, re2_w = fwd(
-                profile, geo_w, jnp.ones(Bp, bool))
-            idx = np.nonzero(need_word)[0]
-            score[idx] = s_w[idx]
-            end_ref[idx] = er_w[idx]
-            end_read[idx] = ed_w[idx]
-            score2[idx] = s2_w[idx]
-            ref_end2[idx] = re2_w[idx]
-            word[idx] = True
+        word[need_word] = True
+        rerun = need_word if quirk else (might & ~need_word)
+        rerun_word = bool(quirk)
+        if rerun.any():
+            # subset rerun (VERDICT round-1 item 6): pad the index set to a
+            # stable compile shape that stays divisible by the data axis
+            idx = np.nonzero(rerun)[0]
+            k = len(idx)
+            unit = 64 if 64 % D == 0 else 64 * D
+            pad = common.round_up(k, unit) - k
+            idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
+            geo_r = common.batch_geometry(read_len[idx_p], L,
+                                          word=rerun_word)
+            s_r, er_r, ed_r, s2_r, re2_r = (
+                np.asarray(x)[:k] for x in dist.sharded_forward(
+                    mesh, jnp.asarray(profile[idx_p]), jnp.asarray(ref_ext),
+                    jnp.asarray(geo_r.read_len),
+                    jnp.asarray(geo_r.col_mask), jnp.asarray(geo_r.seg_id),
+                    jnp.asarray(geo_r.seg_start), req.gapO, req.gapE,
+                    jnp.asarray(ml[idx_p]), ref_len, halo, quirk,
+                    jnp.full(len(idx_p), rerun_word, bool),
+                    backend=backend, max_sub=max_sub))
+            score[idx] = s_r
+            end_ref[idx] = er_r
+            end_read[idx] = ed_r
+            score2[idx] = s2_r
+            ref_end2[idx] = re2_r
     score = np.where(word, np.minimum(score, 32767), score)
 
     # drop the data-parallel padding before the host stages (no duplicate
@@ -527,7 +605,12 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
         m = min(W, e + 1)
         refw[k, :m] = ref_arr[e::-1][:m]
     geo = common.batch_geometry(rl_rev, L, word=tier_word)
-    s, er, ed = scan_sw.forward_perread_ref(
+    if backend == "pallas":
+        from ssw_tpu.ops import pallas_sw
+        rev_fn = pallas_sw.forward_perread_ref
+    else:
+        rev_fn = scan_sw.forward_perread_ref
+    s, er, ed = rev_fn(
         jnp.asarray(profile), jnp.asarray(refw), jnp.asarray(rl_rev),
         jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
         jnp.asarray(geo.seg_start), req.gapO, req.gapE,

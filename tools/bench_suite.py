@@ -69,12 +69,15 @@ def bench_forward_gcups():
                                               **kw)
     int(np.asarray(run(profs[0])[0])[0])
     n = reads_n // B
-    t0 = time.perf_counter()
-    outs = [run(profs[1 + i]) for i in range(n)]
-    int(np.asarray(outs[-1][0])[0])
-    dt = time.perf_counter() - t0
-    return dict(gcups=round(reads_n * READ_LEN * R / dt / 1e9, 2),
-                platform=platform, seconds=round(dt, 3))
+    from ssw_tpu import profiling
+    counter = profiling.GcupsCounter()
+    counter.add_pairs([READ_LEN] * reads_n, R)
+    with counter.phase("device"):
+        outs = [run(profs[1 + i]) for i in range(n)]
+        int(np.asarray(outs[-1][0])[0])
+    return dict(gcups=round(counter.gcups("device"), 2),
+                platform=platform,
+                seconds=round(counter.device_seconds, 3))
 
 
 def bench_e2e_reads_per_s(n_reads):
@@ -106,15 +109,21 @@ def bench_e2e_reads_per_s(n_reads):
             tw.writelines(head)
         cli.main(["-c", "-s", "-h", "-r", ref, tw.name], out=warm, err=warm)
         os.unlink(tw.name)
+        from ssw_tpu import pipeline, profiling
+        counter = profiling.GcupsCounter()
         t0 = time.perf_counter()
-        cli.main(["-c", "-s", "-h", "-r", ref, path], out=out, err=err)
+        with pipeline.profiled(counter):
+            cli.main(["-c", "-s", "-h", "-r", ref, path], out=out, err=err)
         dt = time.perf_counter() - t0
     finally:
         os.unlink(path)
     n_recs = sum(1 for l in out.getvalue().splitlines()
                  if l and not l.startswith("@"))
     return dict(reads=n_reads, records=n_recs, seconds=round(dt, 3),
-                reads_per_s=round(n_reads / dt, 2))
+                reads_per_s=round(n_reads / dt, 2),
+                phases={k: round(v, 3)
+                        for k, v in sorted(counter.seconds.items())},
+                gcups_device=round(counter.gcups("forward"), 2))
 
 
 def bench_scaling():

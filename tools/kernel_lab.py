@@ -82,6 +82,8 @@ def make_kernel(variant: str, unroll: int = UNROLL):
     if variant in ("shortscan", "radix4"):
         do_track = False
         do_store = False
+    trim = variant in ("trim", "trimpack")
+    packtrack = variant in ("packtrack", "trimpack")
 
     def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
                maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
@@ -101,6 +103,12 @@ def make_kernel(variant: str, unroll: int = UNROLL):
         gmd = gmd_ref[...]
         maskneg = maskneg_ref[...]
 
+        ilv = None
+        if packtrack:
+            lane_l = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+            ilv = 1024 + (1023 - lane_l)  # all lanes "valid" in the lab
+            maskneg2 = jnp.zeros((B, L), jnp.int32)  # no padding in lab
+
         def body(jj, _):
             cols = []
             for u in range(unroll):
@@ -116,7 +124,21 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                     sub = dmg
                 H = H_ref[...]
                 E = E_ref[...]
-                if do_dp:
+                if trim:
+                    # biased-domain dataflow: sub2 = sub + dmg folded,
+                    # zero-clamp absorbed by E >= 0, E-update off-chain
+                    sub2 = sub + dmg          # (stand-in for precomputed)
+                    Ed = E + dmg
+                    c = jnp.maximum(_shift_right(H, 1, jnp.int32(0)) + sub2,
+                                    Ed)
+                    cm = _prefix_max(c, L, neg)
+                    ht = c - dmg
+                    scm = _shift_right(cm, 1, neg)
+                    H = jnp.maximum(ht, scm + gmd)
+                    e1 = jnp.maximum(E - jnp.int32(gapE), jnp.int32(0))
+                    pre = jnp.maximum(e1, ht - jnp.int32(gapO))
+                    E = jnp.maximum(pre, scm + (gmd - jnp.int32(gapO)))
+                elif do_dp:
                     h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
                     h_tilde = jnp.maximum(jnp.maximum(h_diag, E),
                                           jnp.int32(0))
@@ -137,7 +159,23 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                 H_ref[...] = H
                 E_ref[...] = E
 
-                if do_track:
+                if do_track and packtrack:
+                    key = (H + maskneg2) * 2048 + ilv
+                    kmax = jnp.max(key, axis=1, keepdims=True)
+                    colmax = jnp.right_shift(kmax, 11)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, COL_BLOCK), 1)
+                    maxcol_ref[...] = jnp.where(
+                        lane == j, colmax, maxcol_ref[...])
+                    gmax = gmax_ref[...]
+                    upd = colmax > gmax
+                    gmax_ref[...] = jnp.where(upd, colmax, gmax)
+                    end_ref_ref[...] = jnp.where(
+                        upd, block * COL_BLOCK + j, end_ref_ref[...])
+                    # best packed key stored in h_best_ref[:, :1]
+                    h_best_ref[:, :1] = jnp.where(upd, kmax,
+                                                  h_best_ref[:, :1])
+                elif do_track:
                     colmax = jnp.max(H + maskneg, axis=1, keepdims=True)
                     if do_store:
                         if variant == "maskstore":
