@@ -144,7 +144,11 @@ def main(argv=None, out=None, err=None) -> int:
     if local > 1:
         from ssw_tpu.parallel import mesh as mesh_lib
         seq = max(1, min(args.mesh_seq, local))
-        mesh = mesh_lib.make_mesh(data=local // seq, seq=seq)
+        # LOCAL devices only: hosts split reads via ShardPlan (no cross-host
+        # collectives), so each host meshes its own chips; a global-device
+        # mesh would create non-addressable arrays in multi-process runs
+        mesh = mesh_lib.make_mesh(data=local // seq, seq=seq,
+                                  devices=jax.local_devices())
 
     def entry_of(rec):
         e = {"rec": rec, "num": encode_with_table(rec.seq, table)}

@@ -22,8 +22,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(2 ** 28))
-SEG_BUMP = jnp.int32(2 ** 21)
+# plain ints, NOT jnp scalars: a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize for every program that imports the pipeline
+# before calling it (dcli --coordinator).  jnp ops with python ints keep
+# int32 dtypes.
+NEG = -(2 ** 28)
+SEG_BUMP = 2 ** 21
 
 
 def _column_update(sub, state, gapO, gapE, decay, seg_bias, seg_reset,

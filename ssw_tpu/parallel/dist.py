@@ -31,7 +31,7 @@ from jax.sharding import PartitionSpec as P
 from ssw_tpu.ops import scan_sw
 
 
-INT_MAX = jnp.int32(2 ** 31 - 1)
+INT_MAX = 2 ** 31 - 1  # plain int: see ops/scan_sw.py NEG note
 
 
 def _merge_best(score_g, idx_g):

@@ -34,7 +34,8 @@ def init_distributed(coordinator_address: str | None = None,
                      process_id: int | None = None) -> tuple[int, int]:
     """Initialize jax.distributed when a multi-process run is requested
     (no-op for single-process).  Returns (process_id, num_processes)."""
-    if num_processes is not None and num_processes > 1:
+    if num_processes is not None and num_processes > 1 \
+            and not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -1,0 +1,45 @@
+"""Compile and run the Java binding end-to-end against the bridge worker
+(VERDICT round-1 item 7a).  Skips cleanly when no JDK is installed (this
+image has none; the test is the contract for environments that do)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAVA_SRC = os.path.join(REPO, "bindings", "java", "ssw")
+
+
+def _jdk():
+    return shutil.which("javac") and shutil.which("java")
+
+
+@pytest.mark.skipif(not _jdk(), reason="no JDK on this image")
+def test_java_example_runs_against_bridge(tmp_path):
+    out_dir = tmp_path / "classes"
+    out_dir.mkdir()
+    srcs = [os.path.join(JAVA_SRC, f) for f in
+            ("Aligner.java", "Alignment.java", "Example.java")]
+    subprocess.run(["javac", "-d", str(out_dir), *srcs], check=True,
+                   capture_output=True, timeout=120)
+    r = subprocess.run(
+        ["java", "-cp", str(out_dir), f"-Dssw.python={sys.executable}",
+         "ssw.Example"],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-500:]
+    # Example exits 1 unless the known pair scores 21 (src/example.c values)
+    assert "ok" in r.stdout
+
+
+def test_java_sources_present_and_wellformed():
+    """Always-on guard: the binding surface exists and declares the same
+    public API the reference's ssw.Aligner does
+    (ref: src/ssw/Aligner.java:76-106)."""
+    for f in ("Aligner.java", "Alignment.java", "Example.java"):
+        assert os.path.exists(os.path.join(JAVA_SRC, f))
+    src = open(os.path.join(JAVA_SRC, "Aligner.java")).read()
+    for needle in ("class Aligner", "align(", "ssw_tpu.bridge"):
+        assert needle in src

@@ -84,10 +84,11 @@ def make_kernel(variant: str, unroll: int = UNROLL):
         do_store = False
     trim = variant in ("trim", "trimpack")
     packtrack = variant in ("packtrack", "trimpack")
+    ring8 = variant == "ring8"
 
     def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
                maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
-               H_ref, E_ref, *, gapO, gapE):
+               H_ref, E_ref, ring_ref, *, gapO, gapE):
         block = pl.program_id(0)
         neg = jnp.int32(NEG)
 
@@ -159,7 +160,28 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                 H_ref[...] = H
                 E_ref[...] = E
 
-                if do_track and packtrack:
+                if do_track and ring8:
+                    ring_ref[u % 8] = H
+                    if u % 8 == 7:
+                        hs = ring_ref[...]          # (8, B, L)
+                        cm8 = jnp.max(hs + maskneg[None], axis=2,
+                                      keepdims=True)  # (8, B, 1)
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (B, COL_BLOCK), 1)
+                        for w in range(8):
+                            jw = j - 7 + w
+                            colmax = cm8[w]
+                            maxcol_ref[...] = jnp.where(
+                                lane == jw, colmax, maxcol_ref[...])
+                            gmax = gmax_ref[...]
+                            upd = colmax > gmax
+                            gmax_ref[...] = jnp.where(upd, colmax, gmax)
+                            end_ref_ref[...] = jnp.where(
+                                upd, block * COL_BLOCK + jw,
+                                end_ref_ref[...])
+                            h_best_ref[...] = jnp.where(
+                                upd, ring_ref[w], h_best_ref[...])
+                elif do_track and packtrack:
                     key = (H + maskneg2) * 2048 + ilv
                     kmax = jnp.max(key, axis=1, keepdims=True)
                     colmax = jnp.right_shift(kmax, 11)
@@ -237,6 +259,7 @@ def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL):
         scratch_shapes=[
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((B, L), jnp.int32),
+            pltpu.VMEM((8, B, L), jnp.int32),
         ],
     )
     out_shape = (
