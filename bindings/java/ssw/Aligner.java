@@ -72,6 +72,75 @@ public class Aligner {
     }
 
     /**
+     * Batched entry point (TPU-native extension; no reference
+     * counterpart): many reads against one reference in ONE worker
+     * round-trip, executed as one device batch by the engine.  Results
+     * are positional; maskLen &lt; 0 selects the per-read default
+     * max(15, readLen/2).
+     */
+    public static synchronized Alignment[] alignBatch(byte[][] reads,
+            byte[] flattenedMatrix, int n, int score_size, byte[] ref,
+            int gapOpen, int gapExtend, int flag, short filterscore,
+            int filterdistance, int maskLen) {
+        try {
+            ensureWorker();
+            long id = nextId++;
+            StringBuilder sb = new StringBuilder();
+            sb.append("{\"id\":").append(id).append(",\"batch\":[");
+            for (int i = 0; i < reads.length; i++) {
+                if (i > 0) sb.append(',');
+                int ml = maskLen >= 0 ? maskLen
+                        : Math.max(15, reads[i].length / 2);
+                sb.append("{\"read\":").append(toJson(reads[i]))
+                  .append(",\"ref\":").append(toJson(ref))
+                  .append(",\"matrix\":").append(toJson(flattenedMatrix))
+                  .append(",\"n\":").append(n)
+                  .append(",\"score_size\":").append(score_size)
+                  .append(",\"gap_open\":").append(gapOpen)
+                  .append(",\"gap_extend\":").append(gapExtend)
+                  .append(",\"flag\":").append(flag)
+                  .append(",\"filter_score\":").append(filterscore)
+                  .append(",\"filter_distance\":").append(filterdistance)
+                  .append(",\"mask_len\":").append(ml)
+                  .append('}');
+            }
+            sb.append("]}\n");
+            toWorker.write(sb.toString());
+            toWorker.flush();
+            String line = fromWorker.readLine();
+            if (line == null) throw new RuntimeException("worker died");
+            if (line.contains("\"error\""))
+                throw new RuntimeException("bridge error: " + line);
+            // result is an array of objects; cigar strings contain only
+            // [0-9MIDNSHP=X], so "},{" never appears inside a value
+            int s = line.indexOf("\"result\":[") + 10;
+            int e = line.lastIndexOf(']');
+            String body = line.substring(s, e);
+            if (body.isEmpty()) return new Alignment[0];
+            java.util.List<String> items = new java.util.ArrayList<>();
+            int depth = 0, start = 0;
+            for (int i = 0; i < body.length(); i++) {
+                char c = body.charAt(i);
+                if (c == '{') depth++;
+                else if (c == '}') depth--;
+                else if (c == ',' && depth == 0) {
+                    items.add(body.substring(start, i));
+                    start = i + 1;
+                }
+            }
+            items.add(body.substring(start));
+            Alignment[] out = new Alignment[items.size()];
+            for (int i = 0; i < out.length; i++) {
+                String it = items.get(i);
+                out[i] = it.equals("null") ? null : parse(it);
+            }
+            return out;
+        } catch (Exception e) {
+            throw new RuntimeException("ssw_tpu bridge failure", e);
+        }
+    }
+
+    /**
      * Safe overload (ref: src/ssw/Aligner.java:88-106): dynamic alphabet,
      * penalty range checks, maskLen = max(15, len/2).
      */

@@ -46,6 +46,10 @@ def _align_one(msg):
                  else int(msg["filter_distance"])),
         mask_len=int(msg.get("mask_len", 15)),
         score_size=int(msg.get("score_size", 2)))
+    return _result_dict(r)
+
+
+def _result_dict(r):
     if r is None:
         return None
     cigar = [int(c) for c in (r.cigar or [])]
@@ -57,6 +61,36 @@ def _align_one(msg):
         "cigar_string": "".join(
             f"{cigar_int_to_len(c)}{cigar_int_to_op(c)}" for c in cigar),
     }
+
+
+def _align_many(msgs):
+    """Batched form: requests sharing (ref, matrix, penalties, flags) run
+    as ONE device batch through api.align_batch — this is the wire form
+    the Java binding's alignBatch uses; mixed-config batches split into
+    per-config groups."""
+    results = [None] * len(msgs)
+    groups: dict = {}
+    for i, m in enumerate(msgs):
+        key = (tuple(m["ref"]), tuple(m["matrix"]), int(m["n"]),
+               int(m["gap_open"]), int(m["gap_extend"]),
+               int(m.get("flag", 0x0F)), int(m.get("filter_score", 0)),
+               (2 ** 31 - 1 if m.get("filter_distance") is None
+                else int(m["filter_distance"])),
+               int(m.get("score_size", 2)))
+        groups.setdefault(key, []).append(i)
+    for key, idxs in groups.items():
+        (ref, mat_flat, n, gapO, gapE, flag, filters, filterd,
+         score_size) = key
+        mat = np.asarray(mat_flat, dtype=np.int8).reshape(n, n)
+        reads = [np.asarray(msgs[i]["read"], dtype=np.int32) for i in idxs]
+        mask = [int(msgs[i].get("mask_len", 15)) for i in idxs]
+        rs = api.align_batch(
+            reads, np.asarray(ref, dtype=np.int32), mat, gapO, gapE,
+            flag=flag, filters=filters, filterd=filterd, mask_len=mask,
+            score_size=score_size)
+        for i, r in zip(idxs, rs):
+            results[i] = _result_dict(r)
+    return results
 
 
 def serve(inp=None, out=None) -> int:
@@ -76,7 +110,7 @@ def serve(inp=None, out=None) -> int:
             return 0
         try:
             if "batch" in msg:
-                result = [_align_one(m) for m in msg["batch"]]
+                result = _align_many(msg["batch"])
             else:
                 result = _align_one(msg)
             out.write(json.dumps({"id": msg.get("id"), "result": result})

@@ -116,6 +116,30 @@ def _length_groups(Ls: list[int]) -> list[list[int]]:
     return groups
 
 
+_REF_CACHE: "dict[int, tuple]" = {}  # id -> (np_ref, pad_code, Rp, device)
+_REF_CACHE_CAP = 4  # strong refs: identity keys stay valid while cached
+
+
+def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
+    """Padded target, resident on device.  Cached by identity of the host
+    array: the CLI re-enters align_batch per memory chunk / strand / length
+    bucket with the SAME target array, and re-uploading a chromosome-scale
+    reference through the host link every call dominated the long-target
+    wall time (10 Mbp = 40 MB per call)."""
+    ent = _REF_CACHE.get(id(ref_np))
+    if ent is not None:
+        np0, pc0, Rp0, dev = ent
+        if np0 is ref_np and pc0 == pad_code and Rp0 == Rp:
+            return dev
+    ref_padded = np.full(Rp, pad_code, dtype=np.int32)
+    ref_padded[: len(ref_np)] = ref_np
+    dev = jnp.asarray(ref_padded)
+    while len(_REF_CACHE) >= _REF_CACHE_CAP:
+        _REF_CACHE.pop(next(iter(_REF_CACHE)))
+    _REF_CACHE[id(ref_np)] = (ref_np, pad_code, Rp, dev)
+    return dev
+
+
 def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
     """The lane-block E quirk is observable only when an adjacent
     insertion+deletion can beat the substitution it replaces, i.e. when
@@ -196,10 +220,12 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         return results
 
     # cap the per-column-maxima footprint: maxcol is (B, Rp) uint16 and the
-    # word rerun + concat can hold ~3 copies, so bound B for huge targets
-    # (5 Mbp at B=512 would peak ~16 GB of HBM)
+    # word rerun + concat can hold ~3 copies, so bound B for huge targets.
+    # Floor at 128 rows: the kernel's lane sweet spot (OPT_LANES) — dropping
+    # below it costs ~1.8x per lane (BENCH.md), far more than the extra
+    # maxcol memory (128 rows x 10 Mbp = 2.5 GB, ~3 copies fits 16 GB HBM)
     Rp_est = common.bucket_size(ref_len, 256)
-    b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+    b_mem = max(128, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
     if B > b_mem:
         results = []
         for lo in range(0, B, b_mem):
@@ -233,9 +259,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # columns carry values diagonally at zero cost but can never strictly
     # exceed the running max, and are masked out of the suboptimal scan
     Rp = common.bucket_size(ref_len, 256)
-    ref_padded = np.full(Rp, n, dtype=np.int32)
-    ref_padded[:ref_len] = req.ref
-    ref_codes = jnp.asarray(ref_padded)
+    ref_codes = _device_ref(req.ref, n, Rp)
 
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
@@ -488,12 +512,13 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
     Rp = (ref_len + 256 * S - 1) // (256 * S) * (256 * S)
     ref_ext = np.full(halo + Rp, n, dtype=np.int32)
     ref_ext[halo:halo + ref_len] = req.ref
+    ref_ext_dev = jnp.asarray(ref_ext)  # upload once (forward + rerun)
 
     from ssw_tpu.parallel import dist
 
     def fwd(prof, geo, word_mask):
         out = dist.sharded_forward(
-            mesh, jnp.asarray(prof), jnp.asarray(ref_ext),
+            mesh, jnp.asarray(prof), ref_ext_dev,
             jnp.asarray(geo.read_len), jnp.asarray(geo.col_mask),
             jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start),
             req.gapO, req.gapE, jnp.asarray(ml), ref_len, halo, quirk,
@@ -534,7 +559,7 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
                                           word=rerun_word)
             s_r, er_r, ed_r, s2_r, re2_r = (
                 np.asarray(x)[:k] for x in dist.sharded_forward(
-                    mesh, jnp.asarray(profile[idx_p]), jnp.asarray(ref_ext),
+                    mesh, jnp.asarray(profile[idx_p]), ref_ext_dev,
                     jnp.asarray(geo_r.read_len),
                     jnp.asarray(geo_r.col_mask), jnp.asarray(geo_r.seg_id),
                     jnp.asarray(geo_r.seg_start), req.gapO, req.gapE,

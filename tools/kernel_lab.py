@@ -83,6 +83,7 @@ def make_kernel(variant: str, unroll: int = UNROLL):
         do_track = False
         do_store = False
     trim = variant in ("trim", "trimpack")
+    biased = variant == "biased"
     packtrack = variant in ("packtrack", "trimpack")
     ring8 = variant == "ring8"
 
@@ -125,7 +126,23 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                     sub = dmg
                 H = H_ref[...]
                 E = E_ref[...]
-                if trim:
+                if biased:
+                    # fully-biased: state Hd=H+dmg, Ed=E+dmg; profile holds
+                    # subE = sub + gapE (precomputed outside); constants:
+                    # fill v=-gapO-gapE, K1=gapE-gapO
+                    Hd = H
+                    Ed = E
+                    c = jnp.maximum(
+                        _shift_right(Hd, 1, jnp.int32(-gapO - gapE)) + sub,
+                        Ed)
+                    cm = _prefix_max(c, L, neg)
+                    scm = _shift_right(cm, 1, neg)
+                    Hd = jnp.maximum(c, scm + jnp.int32(gapE - gapO))
+                    Ed = jnp.maximum(jnp.maximum(Ed - jnp.int32(gapE),
+                                                 Hd - jnp.int32(gapO)), dmg)
+                    H = Hd
+                    E = Ed
+                elif trim:
                     # biased-domain dataflow: sub2 = sub + dmg folded,
                     # zero-clamp absorbed by E >= 0, E-update off-chain
                     sub2 = sub + dmg          # (stand-in for precomputed)
@@ -160,7 +177,21 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                 H_ref[...] = H
                 E_ref[...] = E
 
-                if do_track and ring8:
+                if do_track and biased:
+                    # colmax on Hd needs maskneg - dmg (precomputed = gmd-ish)
+                    colmax = jnp.max(H + (maskneg - dmg), axis=1,
+                                     keepdims=True)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, COL_BLOCK), 1)
+                    maxcol_ref[...] = jnp.where(
+                        lane == j, colmax, maxcol_ref[...])
+                    gmax = gmax_ref[...]
+                    upd = colmax > gmax
+                    gmax_ref[...] = jnp.where(upd, colmax, gmax)
+                    end_ref_ref[...] = jnp.where(
+                        upd, block * COL_BLOCK + j, end_ref_ref[...])
+                    h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
+                elif do_track and ring8:
                     ring_ref[u % 8] = H
                     if u % 8 == 7:
                         hs = ring_ref[...]          # (8, B, L)
