@@ -90,6 +90,17 @@ def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
 
 MIN_BUCKET = 64   # reads per length bucket before it earns its own shape
 MAXCOL_BUDGET = 2 << 30  # bytes of per-column maxima per forward pass
+MAXCOL_HARD_CAP = 6 << 30  # absolute bound for one maxcol buffer (16G HBM)
+
+
+def _sweet_rows(L: int) -> int:
+    """Batch rows that fill the kernel's lane sweet spot for bucket L."""
+    try:
+        from ssw_tpu.ops import pallas_sw
+        opt = pallas_sw.OPT_LANES
+    except ImportError:  # pragma: no cover - pallas-less backend
+        opt = 32768
+    return max(64, (opt // max(L, 1)) // 64 * 64)
 
 
 def _length_groups(Ls: list[int]) -> list[list[int]]:
@@ -220,12 +231,16 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         return results
 
     # cap the per-column-maxima footprint: maxcol is (B, Rp) uint16 and the
-    # word rerun + concat can hold ~3 copies, so bound B for huge targets.
-    # Floor at 128 rows: the kernel's lane sweet spot (OPT_LANES) — dropping
-    # below it costs ~1.8x per lane (BENCH.md), far more than the extra
-    # maxcol memory (128 rows x 10 Mbp = 2.5 GB, ~3 copies fits 16 GB HBM)
+    # word rerun + concat can hold ~3 copies, so bound B for huge targets —
+    # but hold the kernel's lane sweet spot (OPT_LANES lanes per dispatch,
+    # BENCH.md: half-width batches cost ~1.8x per lane) as long as one
+    # maxcol buffer stays under the hard HBM guard
     Rp_est = common.bucket_size(ref_len, 256)
-    b_mem = max(128, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+    L_est = max(Ls) if Ls else 64
+    b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+    b_sweet = max(64, _sweet_rows(L_est))
+    if b_mem < b_sweet and Rp_est * 2 * b_sweet <= MAXCOL_HARD_CAP:
+        b_mem = b_sweet
     if B > b_mem:
         results = []
         for lo in range(0, B, b_mem):

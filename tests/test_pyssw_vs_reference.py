@@ -78,3 +78,55 @@ def test_pyssw_fields_match_reference(ref_pyssw, args):
     ours = _fields(_run_ours(full))
     ref = _fields(_run_reference(ref_pyssw, full))
     assert ours == ref
+
+
+def test_pyssw_matrix_file_fields_match_reference(ref_pyssw, tmp_path):
+    """-a matrix-file cross-validation (VERDICT round-1 item 3).  The
+    reference pyssw's read_matrix reads the global `args` instead of its
+    parameter and NameErrors on every -a run (ref: src/ssw_lib.py:207) —
+    verified real; the harness injects the missing global so the
+    reference's own parser+alignment produce ground truth."""
+    driver = tmp_path / "drive_ref_pyssw.py"
+    driver.write_text(f"""
+import sys
+sys.path.insert(0, {REF_SRC!r})
+import argparse as ap
+import ssw_lib
+
+mat_path, target, query = sys.argv[1:4]
+
+class _Args:
+    sMatrix = mat_path
+
+ssw_lib.args = _Args()  # satisfy read_matrix's buggy global read
+
+import pyssw
+parser = ap.ArgumentParser()
+parser.add_argument('-l', '--sLibPath', default='')
+parser.add_argument('-m', '--nMatch', type=int, default=2)
+parser.add_argument('-x', '--nMismatch', type=int, default=2)
+parser.add_argument('-o', '--nOpen', type=int, default=3)
+parser.add_argument('-e', '--nExt', type=int, default=1)
+parser.add_argument('-p', '--bProtein', action='store_true')
+parser.add_argument('-a', '--sMatrix', default='')
+parser.add_argument('-c', '--bPath', action='store_true')
+parser.add_argument('-f', '--nThr', default=0)
+parser.add_argument('-b', '--bBest', action='store_true')
+parser.add_argument('-r', '--bSam', action='store_true')
+parser.add_argument('-s', '--bHeader', action='store_true')
+parser.add_argument('target')
+parser.add_argument('query')
+args = parser.parse_args(['-l', {ref_pyssw!r}, '-c', '-p', '-a', mat_path,
+                          target, query])
+pyssw.main(args)
+""")
+    mat = os.path.join(DATA, "blosum62.txt")
+    t = os.path.join(DATA, "pRef.fa")
+    q = os.path.join(DATA, "pRead.fa")
+    r = subprocess.run([sys.executable, str(driver), mat, t, q],
+                       capture_output=True, text=True, timeout=300,
+                       cwd=REF_SRC)
+    assert r.returncode == 0, r.stderr[:500]
+    ref = _fields(r.stdout)
+    ours = _fields(_run_ours(["-c", "-p", "-a", mat, t, q]))
+    assert ours == ref and len(ref) >= 7
