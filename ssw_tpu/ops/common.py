@@ -60,7 +60,7 @@ class BatchGeometry:
     L: int                    # padded DP row count (static)
     read_len: np.ndarray      # (B,) true read lengths
     col_mask: np.ndarray      # (B, L) bool: rows included in column maxima
-    seg_id: np.ndarray        # (B, L) int32: lane-block id of each row
+    seg_id: np.ndarray        # (B, L) int8: lane-block id (< 16) of each row
     seg_start: np.ndarray     # (B, L) bool: first row of a lane block
 
 
@@ -72,15 +72,21 @@ def batch_geometry(read_len: np.ndarray, L: int, word: bool) -> BatchGeometry:
     col_mask = j < pt
     seg = np.minimum(j // np.maximum(sl, 1), (8 if word else 16) - 1)
     seg_start = (j % np.maximum(sl, 1) == 0) & (seg == j // np.maximum(sl, 1))
-    return BatchGeometry(L, read_len, col_mask, seg.astype(np.int32), seg_start)
+    # int8/bool on purpose: these ship host->device every batch and the
+    # kernels upcast on device; lane-block ids are < 16
+    return BatchGeometry(L, read_len, col_mask, seg.astype(np.int8), seg_start)
 
 
 def build_profile(reads: np.ndarray, read_len: np.ndarray,
                   mat_ext: np.ndarray) -> np.ndarray:
     """profile[b, c, j] = mat_ext[c, reads[b, j]] with pads as the virtual
-    letter.  reads: (B, L) int32 already padded with code n."""
+    letter.  reads: (B, L) int32 already padded with code n.
+
+    int8 on purpose: substitution scores are int8 by contract
+    (ref: src/ssw.h s_profile mat) and the profile is the largest
+    host->device transfer per batch — the kernels upcast on device."""
     return np.ascontiguousarray(
-        mat_ext[:, reads].transpose(1, 0, 2).astype(np.int32))
+        mat_ext[:, reads].transpose(1, 0, 2).astype(np.int8))
 
 
 def pad_reads(reads: list[np.ndarray], L: int, pad_code: int) -> np.ndarray:

@@ -167,9 +167,10 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(dt)
     gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(dt)
     maskneg = jnp.where(col_mask > 0, 0, neg).astype(dt)
-    seg_bias = (seg_id * SEG_BUMP).astype(jnp.int32)
+    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
-    seg_reset = (seg_start | (seg_prev != seg_id)).astype(jnp.int32)
+    seg_reset = (seg_start.astype(bool)
+                 | (seg_prev != seg_id)).astype(jnp.int32)
     out_shape = (
         jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -301,11 +302,11 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         pad = Bp - Bc
 
         def take(arr, fill):
-            part = arr[lo:hi].astype(jnp.int32)
+            part = arr[lo:hi]  # narrow host dtype; kernels upcast on device
             if pad:
                 part = jnp.concatenate(
                     [part, jnp.full((pad,) + part.shape[1:], fill,
-                                    jnp.int32)])
+                                    part.dtype)])
             return part
 
         prof = profile[lo:hi]
@@ -379,7 +380,7 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB, L) gathered subs
         decay_q = -(gmd - gapE)
 
     for u in range(REV_CB):
-        sub = subs_ref[:, u, :]
+        sub = subs_ref[:, u, :].astype(jnp.int32)
         H = H_ref[...]
         E = E_ref[...]
         h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
@@ -425,9 +426,10 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start,
     dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(jnp.int32)
     gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(jnp.int32)
     maskneg = jnp.where(col_mask > 0, 0, NEG).astype(jnp.int32)
-    seg_bias = (seg_id * SEG_BUMP).astype(jnp.int32)
+    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
-    seg_reset = (seg_start | (seg_prev != seg_id)).astype(jnp.int32)
+    seg_reset = (seg_start.astype(bool)
+                 | (seg_prev != seg_id)).astype(jnp.int32)
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -484,7 +486,9 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
     if terminate is None:
         terminate = jnp.full((B,), -1, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
-    subs = jnp.take_along_axis(profile.astype(jnp.int32),
+    # int8 stream: halves the HBM->VMEM traffic of the gathered profile
+    # slabs; the kernel upcasts per column
+    subs = jnp.take_along_axis(profile.astype(jnp.int8),
                                refw_p[:, :, None], axis=1)
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
@@ -495,11 +499,11 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
         pad = Bp - Bc
 
         def take(arr, fill):
-            part = arr[lo:hi].astype(jnp.int32)
+            part = arr[lo:hi]  # narrow host dtype; kernels upcast on device
             if pad:
                 part = jnp.concatenate(
                     [part, jnp.full((pad,) + part.shape[1:], fill,
-                                    jnp.int32)])
+                                    part.dtype)])
             return part
 
         gmax, end_ref, h_best = _perread_call(

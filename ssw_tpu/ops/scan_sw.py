@@ -95,7 +95,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     """
     B, _, L = profile.shape
     decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
-    seg_bias = seg_id * SEG_BUMP
+    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = seg_start | (seg_prev != seg_id)
 
@@ -131,7 +131,7 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
     """
     B, _, L = profile.shape
     decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
-    seg_bias = seg_id * SEG_BUMP
+    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = seg_start | (seg_prev != seg_id)
     if terminate is None:
@@ -189,7 +189,7 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
     (see parallel/dist.py)."""
     B, _, L = profile.shape
     decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
-    seg_bias = seg_id * SEG_BUMP
+    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = seg_start | (seg_prev != seg_id)
 
