@@ -151,6 +151,42 @@ def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
     return dev
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("L", "seg_word"))
+def _prep_device(reads_padded, read_len, mat_ext, col_word, L: int,
+                 seg_word: bool):
+    """Build the profile and batch geometry ON DEVICE from the read codes.
+
+    The host link is the scarce resource (~1-10 MB/s through the axon
+    tunnel): uploading read codes (B x L int8) and gathering
+    profile[b, c, j] = mat[c, read[b, j]] device-side is ~25x less
+    transfer than shipping the profile + masks.  col_word is the per-read
+    tier for col_mask (the speculative masks mix tiers per read); the seg
+    arrays use the single seg_word tier — they only matter on the quirk
+    path, which never speculates.  Semantics mirror
+    common.batch_geometry/build_profile exactly."""
+    profile = jnp.transpose(mat_ext[:, reads_padded], (1, 0, 2))
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rl = read_len[:, None]
+
+    def tier(word_rows):
+        lanes = jnp.where(word_rows[:, None], 8, 16).astype(jnp.int32)
+        sl_raw = (rl + lanes - 1) // lanes
+        return lanes, sl_raw
+
+    lanes_c, sl_c = tier(col_word)
+    col_mask = j < sl_c * lanes_c
+    seg_rows = jnp.full(read_len.shape, seg_word, bool)
+    lanes_s, sl_raw = tier(seg_rows)
+    sl = jnp.maximum(sl_raw, 1)
+    seg_div = j // sl
+    seg = jnp.minimum(seg_div, lanes_s - 1)
+    seg_start = (j % sl == 0) & (seg == seg_div)
+    return profile, col_mask, seg.astype(jnp.int8), seg_start
+
+
 def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
     """The lane-block E quirk is observable only when an adjacent
     insertion+deletion can beat the substitution it replaces, i.e. when
@@ -269,7 +305,6 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
     mat_ext = common.extend_matrix(req.mat)
     reads_padded = common.pad_reads(reads_all, L, pad_code=n)
-    profile = common.build_profile(reads_padded, read_len, mat_ext)
     # pad the target to a coarse bucket with the virtual letter: padded
     # columns carry values diagonally at zero cost but can never strictly
     # exceed the running max, and are masked out of the suboptimal scan
@@ -283,7 +318,6 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         # the segmented-scan bias that reproduces the lane-block E quirk
         # needs value headroom; beyond it, route to the exact oracle
         return pipeline_fallback(req)
-    geo = common.batch_geometry(read_len, L, word=word_tier)
     # speculative tier masks: when the quirk is off, the tiers differ ONLY
     # in col_mask (rows padded to 16 vs 8 per lane block; byte pad rows
     # carry stale diagonal values into maxColumn).  A read whose maximum
@@ -293,15 +327,14 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # high-identity reads), the reference's whole word rerun
     # (ref: src/ssw.c:883-886) is already answered; only might-but-didn't
     # reads re-run, with byte rows.  Score/ends are tier-independent here.
-    might = np.zeros(B, dtype=bool)
+    might = np.zeros(Bp, dtype=bool)
     if req.score_size == 2 and not quirk:
         might = read_len.astype(np.int64) * max_sub + bias >= 255
-        if might.any():
-            geo_w_rows = common.batch_geometry(read_len, L, word=True)
-            geo = common.BatchGeometry(
-                L, read_len,
-                np.where(might[:, None], geo_w_rows.col_mask, geo.col_mask),
-                geo.seg_id, geo.seg_start)
+    col_word = np.full(Bp, word_tier) | might
+    profile, cm_d, seg_d, ss_d = _prep_device(
+        reads_padded.astype(np.int8), read_len, mat_ext, col_word, L,
+        word_tier)
+    geo = common.BatchGeometry(L, read_len, cm_d, seg_d, ss_d)
     if _counter is not None:
         _counter.add_pairs(read_len[:B], ref_len)
     with _phase("forward"):
@@ -331,9 +364,11 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
             if backend == "pallas":  # stable compile shapes (see above)
                 pad = common.round_up(k, 64) - k
                 idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
-            geo_r = common.batch_geometry(read_len[idx_p], L,
-                                          word=rerun_word)
-            prof_r = profile[idx_p]
+            prof_r, cm_r, seg_r, ss_r = _prep_device(
+                reads_padded[idx_p].astype(np.int8), read_len[idx_p],
+                mat_ext, np.full(len(idx_p), rerun_word), L, rerun_word)
+            geo_r = common.BatchGeometry(L, read_len[idx_p], cm_r, seg_r,
+                                         ss_r)
             with _phase("rerun"):
                 if _counter is not None:
                     _counter.add_pairs(read_len[idx], ref_len)
@@ -511,14 +546,12 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
     max_rl = int(read_len.max())
     L = common.bucket_size(max(common.pad_total(max_rl, word=False), 1), 64)
     mat_ext = common.extend_matrix(req.mat)
-    reads_padded = common.pad_reads(reads, L, pad_code=n)
-    profile = common.build_profile(reads_padded, read_len, mat_ext)
+    reads_padded = common.pad_reads(reads, L, pad_code=n).astype(np.int8)
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
     max_sub = int(np.max(np.abs(req.mat)))
     if quirk and L * (max_sub + req.gapE) + req.gapO >= int(scan_sw.SEG_BUMP):
         return pipeline_fallback(req)
-    geo = common.batch_geometry(read_len, L, word=word_tier)
 
     # pad the target so every seq shard gets the same column count; the
     # virtual letter rides diagonally at zero cost and padded columns are
@@ -548,13 +581,10 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
     might = np.zeros(Bp, dtype=bool)
     if req.score_size == 2 and not quirk:
         might = read_len.astype(np.int64) * max_sub + bias >= 255
-        if might.any():
-            geo_w_rows = common.batch_geometry(read_len, L, word=True)
-            geo = common.BatchGeometry(
-                L, read_len,
-                np.where(might[:, None], geo_w_rows.col_mask, geo.col_mask),
-                geo.seg_id, geo.seg_start)
     word = np.full(Bp, word_tier)
+    profile, cm_d, seg_d, ss_d = _prep_device(
+        reads_padded, read_len, mat_ext, word | might, L, word_tier)
+    geo = common.BatchGeometry(L, read_len, cm_d, seg_d, ss_d)
     score, end_ref, end_read, score2, ref_end2 = fwd(
         profile, geo, jnp.asarray(word | might))
     if req.score_size == 2:
@@ -570,14 +600,14 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
             unit = 64 if 64 % D == 0 else 64 * D
             pad = common.round_up(k, unit) - k
             idx_p = np.concatenate([idx, np.repeat(idx[:1], pad)])
-            geo_r = common.batch_geometry(read_len[idx_p], L,
-                                          word=rerun_word)
+            prof_r, cm_r, seg_r, ss_r = _prep_device(
+                reads_padded[idx_p], read_len[idx_p], mat_ext,
+                np.full(len(idx_p), rerun_word), L, rerun_word)
             s_r, er_r, ed_r, s2_r, re2_r = (
                 np.asarray(x)[:k] for x in dist.sharded_forward(
-                    mesh, jnp.asarray(profile[idx_p]), ref_ext_dev,
-                    jnp.asarray(geo_r.read_len),
-                    jnp.asarray(geo_r.col_mask), jnp.asarray(geo_r.seg_id),
-                    jnp.asarray(geo_r.seg_start), req.gapO, req.gapE,
+                    mesh, prof_r, ref_ext_dev,
+                    jnp.asarray(read_len[idx_p]),
+                    cm_r, seg_r, ss_r, req.gapO, req.gapE,
                     jnp.asarray(ml[idx_p]), ref_len, halo, quirk,
                     jnp.full(len(idx_p), rerun_word, bool),
                     backend=backend, max_sub=max_sub))
@@ -633,27 +663,27 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
     rl_rev = (end_read[idx_p] + 1).astype(np.int32)
     L = common.bucket_size(
         int(common.pad_total(int(rl_rev.max()), word=tier_word)), 64)
-    rev_reads = np.full((Bp, L), n, dtype=np.int32)
+    rev_reads = np.full((Bp, L), n, dtype=np.int8)
     for k, b in enumerate(idx_p):
         rev_reads[k, : rl_rev[k]] = req.reads[b][end_read[b]::-1]
-    profile = common.build_profile(rev_reads, rl_rev, mat_ext)
     # per-read reversed reference windows; out-of-range -> virtual letter
-    refw = np.full((Bp, W), n, dtype=np.int32)
+    refw = np.full((Bp, W), n, dtype=np.int8)
     ref_arr = np.asarray(req.ref, dtype=np.int32)
     for k, b in enumerate(idx_p):
         e = int(end_ref[b])
         m = min(W, e + 1)
         refw[k, :m] = ref_arr[e::-1][:m]
-    geo = common.batch_geometry(rl_rev, L, word=tier_word)
+    profile, cm_d, seg_d, ss_d = _prep_device(
+        rev_reads, rl_rev, common.extend_matrix(req.mat),
+        np.full(Bp, tier_word), L, tier_word)
     if backend == "pallas":
         from ssw_tpu.ops import pallas_sw
         rev_fn = pallas_sw.forward_perread_ref
     else:
         rev_fn = scan_sw.forward_perread_ref
     s, er, ed = rev_fn(
-        jnp.asarray(profile), jnp.asarray(refw), jnp.asarray(rl_rev),
-        jnp.asarray(geo.col_mask), jnp.asarray(geo.seg_id),
-        jnp.asarray(geo.seg_start), req.gapO, req.gapE,
+        profile, jnp.asarray(refw), jnp.asarray(rl_rev),
+        cm_d, seg_d, ss_d, req.gapO, req.gapE,
         needs_quirk(req.mat, req.gapE),
         terminate=jnp.asarray(score1[idx_p], dtype=jnp.int32))
     er = np.asarray(er)[:Bs]
