@@ -343,7 +343,10 @@ REV_CB = 16  # columns per grid step in the per-read-window kernel: the
              # REV_CB bounds VMEM at ~2 MB per buffer at the lane sweet spot
 
 
-def _perread_kernel(subs_ref,          # VMEM (B, REV_CB, L) gathered subs
+def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
+                                       # subs, flattened so the int8 tile
+                                       # constraint (32 sublanes) sees B
+                                       # sublanes x (REV_CB*L) lanes
                     term_ref,          # VMEM (B, 1) terminate scores
                     dmg_ref, gmd_ref, maskneg_ref,       # VMEM (B, L)
                     seg_bias_ref, seg_reset_ref,         # VMEM (B, L)
@@ -380,7 +383,7 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB, L) gathered subs
         decay_q = -(gmd - gapE)
 
     for u in range(REV_CB):
-        sub = subs_ref[:, u, :].astype(jnp.int32)
+        sub = subs_ref[:, u * L:(u + 1) * L].astype(jnp.int32)
         H = H_ref[...]
         E = E_ref[...]
         h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
@@ -414,11 +417,12 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB, L) gathered subs
         done_ref[...] = done | (colmax == term).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
+@functools.partial(jax.jit, static_argnames=("L", "gapO", "gapE", "quirk",
                                               "interpret"))
-def _perread_call(subs, term, col_mask, seg_id, seg_start,
+def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
                   gapO: int, gapE: int, quirk: bool, interpret: bool):
-    B, W, L = subs.shape
+    B, WL = subs.shape
+    W = WL // L
     nblocks = W // REV_CB
     kernel = functools.partial(_perread_kernel, gapO=gapO, gapE=gapE, L=L,
                                quirk=quirk)
@@ -436,7 +440,7 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start,
         num_scalar_prefetch=0,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((B, REV_CB, L), lambda i: (0, i, 0),
+            pl.BlockSpec((B, REV_CB * L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -487,9 +491,9 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
         terminate = jnp.full((B,), -1, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
     # int8 stream: halves the HBM->VMEM traffic of the gathered profile
-    # slabs; the kernel upcasts per column
+    # slabs; flattened to (B, W*L) so the int8 tile sees B sublanes
     subs = jnp.take_along_axis(profile.astype(jnp.int8),
-                               refw_p[:, :, None], axis=1)
+                               refw_p[:, :, None], axis=1).reshape(B, -1)
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
     for lo in range(0, B, b_opt):
@@ -508,7 +512,7 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
 
         gmax, end_ref, h_best = _perread_call(
             take(subs, 0), take(terminate, -1)[:, None], take(col_mask, 0),
-            take(seg_id, 0), take(seg_start, 1), gapO, gapE, quirk,
+            take(seg_id, 0), take(seg_start, 1), L, gapO, gapE, quirk,
             interpret)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]

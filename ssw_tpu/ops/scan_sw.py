@@ -164,19 +164,21 @@ def second_best_batch(max_column, end_ref, mask_len, ref_len, word_mask):
     masks/temporaries fuse into a streaming reduction — materialized they
     are several GB for chromosome-scale targets.
     """
-    mc = max_column.astype(jnp.int32)  # (B, R)
-    B, R = mc.shape
+    B, R = max_column.shape
+    # int32 compute for ordinary targets (faster VPU ops), uint16 for
+    # chromosome-scale ones where the upcast would double peak HBM
+    mc = max_column.astype(jnp.int32) if R <= (1 << 22) else max_column
     i = jnp.arange(R, dtype=jnp.int32)[None, :]
     lo_edge = jnp.maximum(end_ref - mask_len, 0)[:, None]
     hi_edge = jnp.minimum(end_ref + mask_len, ref_len)[:, None]
     start_hi = jnp.where(word_mask[:, None], hi_edge, hi_edge + 1)
     allowed = ((i < lo_edge) | (i >= start_hi)) & (i < ref_len)
-    vals = jnp.where(allowed, mc, 0)
+    vals = jnp.where(allowed, mc, mc.dtype.type(0))
     score2 = jnp.max(vals, axis=1)
     # first index attaining the max (ties never displace earlier winners)
     ref_end2 = jnp.argmax(vals == score2[:, None], axis=1).astype(jnp.int32)
     ref_end2 = jnp.where(score2 > 0, ref_end2, 0)
-    return score2, ref_end2
+    return score2.astype(jnp.int32), ref_end2
 
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))

@@ -90,7 +90,10 @@ def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
 
 MIN_BUCKET = 64   # reads per length bucket before it earns its own shape
 MAXCOL_BUDGET = 2 << 30  # bytes of per-column maxima per forward pass
-MAXCOL_HARD_CAP = 6 << 30  # absolute bound for one maxcol buffer (16G HBM)
+MAXCOL_HARD_CAP = 3 << 30  # bound for one maxcol buffer: the peak also
+                           # holds the suboptimal scan's mask temporaries
+                           # and a possible word-rerun copy; 5G OOMed on
+                           # the 10 Mbp target, 3G (128 rows) is safe
 
 
 def _sweet_rows(L: int) -> int:
@@ -274,9 +277,8 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     Rp_est = common.bucket_size(ref_len, 256)
     L_est = max(Ls) if Ls else 64
     b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
-    b_sweet = max(64, _sweet_rows(L_est))
-    if b_mem < b_sweet and Rp_est * 2 * b_sweet <= MAXCOL_HARD_CAP:
-        b_mem = b_sweet
+    rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
+    b_mem = max(b_mem, min(_sweet_rows(L_est), rows_cap))
     if B > b_mem:
         results = []
         for lo in range(0, B, b_mem):
@@ -341,9 +343,10 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         score, end_ref, end_read, max_col = _forward(
             jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
             backend, max_sub)
-        score = np.array(score)
-        end_ref = np.array(end_ref)
-        end_read = np.array(end_read)
+        # ONE stacked download: each host<->device round trip costs ~28 ms
+        # on this link, so per-array fetches dominate small-batch calls
+        packed = np.array(jnp.stack([score, end_ref, end_read]))
+        score, end_ref, end_read = packed[0], packed[1], packed[2]
 
     word = np.full(Bp, word_tier)
     word_sub = None  # (idx, rerun suboptimal inputs, tier) from the rerun
@@ -375,9 +378,10 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
                 s_r, er_r, ed_r, mc_r = _forward(
                     jnp.asarray(prof_r), ref_codes, geo_r, req.gapO,
                     req.gapE, quirk, backend, max_sub)
-                score[idx] = np.asarray(s_r)[:k]
-                end_ref[idx] = np.asarray(er_r)[:k]
-                end_read[idx] = np.asarray(ed_r)[:k]
+                packed_r = np.asarray(jnp.stack([s_r, er_r, ed_r]))
+                score[idx] = packed_r[0, :k]
+                end_ref[idx] = packed_r[1, :k]
+                end_read[idx] = packed_r[2, :k]
             # the rerun tier's suboptimal scan runs directly on the rerun's
             # per-column maxima: splicing them into the main (B, R) array
             # would double a multi-GB buffer for long targets
@@ -394,15 +398,16 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
         score2, ref_end2 = scan_sw.second_best_batch(
             jnp.asarray(max_col), jnp.asarray(end_ref),
             jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
-        score2 = np.array(score2)
-        ref_end2 = np.array(ref_end2)
+        packed2 = np.array(jnp.stack([score2, ref_end2]))
+        score2, ref_end2 = packed2[0], packed2[1]
         if word_sub is not None:
             idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
             s2_r, re2_r = scan_sw.second_best_batch(
                 mc_r, er_r, ml_r, ref_len,
                 jnp.full(mc_r.shape[0], rerun_word, bool))
-            score2[idx] = np.asarray(s2_r)[:k]
-            ref_end2[idx] = np.asarray(re2_r)[:k]
+            packed2r = np.asarray(jnp.stack([s2_r, re2_r]))
+            score2[idx] = packed2r[0, :k]
+            ref_end2[idx] = packed2r[1, :k]
 
     # drop the shape-stability padding before the host stages: duplicates
     # must not emit warnings or run extra reverse passes / tracebacks
@@ -686,12 +691,12 @@ def _reverse_pass(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
         cm_d, seg_d, ss_d, req.gapO, req.gapE,
         needs_quirk(req.mat, req.gapE),
         terminate=jnp.asarray(score1[idx_p], dtype=jnp.int32))
-    er = np.asarray(er)[:Bs]
-    ed = np.asarray(ed)[:Bs]
+    packed = np.array(jnp.stack([jnp.asarray(s), jnp.asarray(er),
+                                 jnp.asarray(ed)]))
+    s, er, ed = packed[0, :Bs], packed[1, :Bs], packed[2, :Bs]
     ref_begin = end_ref[idx] - er
     read_begin = end_read[idx] - ed
-    return (ref_begin.astype(np.int32), read_begin.astype(np.int32),
-            np.asarray(s)[:Bs])
+    return (ref_begin.astype(np.int32), read_begin.astype(np.int32), s)
 
 
 def attach_cigar(r: oracle.AlignResult, read: np.ndarray, ref: np.ndarray,
