@@ -4,14 +4,18 @@ TPU-first design notes (this is a re-design, not a port of the SSE kernel in
 ref: src/ssw.c:197-386):
 
   * The reference's 8-bit/16-bit SIMD split becomes a value-range split over
-    VPU lane width: the default tier runs the DP in **int16** (2x vector
+    VPU lane width: the fast tier runs the DP in **int16** (2x vector
     registers per op vs int32), which is exact whenever the provable cell
     bound  L*(max|mat| + gapE) + gapO  fits in 14 bits — true for every DNA
     and most protein workloads, in both the reference's "byte" and "word"
     geometries (any cell is bounded by read_len * max(mat), so no saturation
     handling is needed, unlike the reference's clamp-at-255 path).  Workloads
     outside that bound, and the quirk path (whose segmented-scan bias needs
-    headroom), run the int32 kernel.
+    headroom), run the int32 kernel.  NB: current Mosaic toolchains cannot
+    legalize int16 vector max/sub/select (probed at runtime by
+    _i16_supported, sweep in tools/probe_i16.py), so on hardware everything
+    runs the int32 tier today at ~87% of its op-count speed of light
+    (BENCH.md); the int16 tier auto-enables when a toolchain allows it.
   * Farrar's lazy-F correction loop becomes a log-depth prefix-max scan
     along the read dimension (Hillis-Steele with masked lane rolls); the
     reference's "E sees only lane-local F" quirk is a second scan over the
@@ -27,8 +31,9 @@ ref: src/ssw.c:197-386):
     (decay - gapO, gapE - decay, lane masks) are folded outside the column
     loop.
 
-Shapes: profile (n+1, B, L) int32, ref (R,) int32 with R % COL_BLOCK == 0,
-geometry masks (B, L) int32.  Outputs match ops/scan_sw.forward_shared_ref.
+Shapes: profile (n+1, B, L) int8 (upcast on device — the host link is the
+scarce resource), ref (R,) int32 with R % COL_BLOCK == 0, geometry masks
+(B, L) bool/int8.  Outputs match ops/scan_sw.forward_shared_ref.
 """
 
 from __future__ import annotations
