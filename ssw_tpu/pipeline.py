@@ -90,10 +90,12 @@ def _window_len(max_read_len: int, ref_len: int, mat: np.ndarray,
 
 MIN_BUCKET = 64   # reads per length bucket before it earns its own shape
 MAXCOL_BUDGET = 2 << 30  # bytes of per-column maxima per forward pass
-MAXCOL_HARD_CAP = 3 << 30  # bound for one maxcol buffer: the peak also
-                           # holds the suboptimal scan's mask temporaries
-                           # and a possible word-rerun copy; 5G OOMed on
-                           # the 10 Mbp target, 3G (128 rows) is safe
+MAXCOL_HARD_CAP = 3 << 30  # bound for one uint16 maxcol buffer.  The
+                           # binding constraint is the KERNEL's int32
+                           # maxcol output (2x this) plus its uint16
+                           # narrowing — int16 stores are Mosaic-blocked
+                           # (see pallas_sw), so 256-row chunks OOM on
+                           # 10 Mbp targets; 3G (128 rows) is safe
 
 
 def _sweet_rows(L: int) -> int:
