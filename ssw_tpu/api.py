@@ -229,11 +229,12 @@ class Aligner:
             if len(ref) == 0:
                 return [0] * len(queries), [Alignment() for _ in queries]
             t_ref = self._translate(ref)
-        elif self._reference is not None:
+        elif self._reference is not None and len(self._reference) > 0:
             t_ref = self._reference
         else:
-            # no stored reference: Align(query, filter, ...) returns false
-            # (ref: src/ssw_cpp.cpp:277-279)
+            # no (or empty) stored reference: Align(query, filter, ...)
+            # returns false — the reference checks
+            # translated_reference_.empty() (ref: src/ssw_cpp.cpp:277-279)
             return [0] * len(queries), [Alignment() for _ in queries]
         t_queries = [self._translate(q) for q in queries]
         flag = 0

@@ -135,3 +135,12 @@ def test_empty_query_or_ref_returns_false():
     assert flag == 0 and al.sw_score == 0
     flag, al = a.align(READ, "")
     assert flag == 0 and al.sw_score == 0
+
+
+def test_empty_stored_reference_disables_align():
+    """SetReferenceSequence("") leaves translated_reference_ empty, and
+    Align-vs-stored-ref then returns false (ref: src/ssw_cpp.cpp:277-279)."""
+    a = api.Aligner()
+    assert a.set_reference_sequence("") == 0
+    flag, al = a.align(READ)
+    assert flag == 0 and al.sw_score == 0
