@@ -75,3 +75,25 @@ def test_malformed_testseq_golden():
     assert rc == 0
     with open(os.path.join(GOLD, "g_testseq_blast.txt")) as f:
         assert out == f.read()
+
+
+def test_cli_golden_matrix_file_config2(tmp_path, monkeypatch):
+    """BASELINE config 2: protein alignment with a BLOSUM62 matrix FILE
+    (-p -a -c), byte-equal to the committed reference-binary capture.
+
+    Runs from a controlled cwd with uppercase file names: the reference's
+    argv scanner keeps reading flag characters out of the consumed -a
+    value (see cli.parse_args), and lowercase path letters would toggle
+    -r/-s; the golden was captured with exactly this argv."""
+    import shutil
+    shutil.copy(os.path.join(DATA, "blosum62.txt"), tmp_path / "B62.TXT")
+    shutil.copy(os.path.join(DATA, "protein1.fa"),
+                tmp_path / "PROTEIN1.FA")
+    shutil.copy(os.path.join(DATA, "protein2.fa"),
+                tmp_path / "PROTEIN2.FA")
+    monkeypatch.chdir(tmp_path)
+    rc, out, _ = run_cli(["-p", "-a", "B62.TXT", "-c",
+                          "PROTEIN2.FA", "PROTEIN1.FA"])
+    assert rc == 0
+    with open(os.path.join(GOLD, "g_prot_b62_blast.txt")) as f:
+        assert out == f.read()
