@@ -22,6 +22,7 @@ is lossy there; see core/oracle.py).
 from __future__ import annotations
 
 import contextlib
+import functools
 import sys
 from dataclasses import dataclass
 
@@ -154,9 +155,6 @@ def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
         _REF_CACHE.pop(next(iter(_REF_CACHE)))
     _REF_CACHE[id(ref_np)] = (ref_np, pad_code, Rp, dev)
     return dev
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("L", "seg_word"))
