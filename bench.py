@@ -23,6 +23,18 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: cold kernel compiles cost 60-90 s each
+    # through the remote AOT helper; timing already excludes compiles, but
+    # a warm cache keeps the whole run short
+    import os
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ssw_tpu.ops import common
