@@ -220,11 +220,33 @@ class Aligner:
     def align_batch(self, queries, ref: str | None = None,
                     filter: Filter | None = None, mask_len=15):
         filter = filter or Filter()
-        if self.table is None or any(len(q) == 0 for q in queries):
-            # disabled (cleared) aligner / empty query: Align returns false
-            # and leaves the alignment untouched (ref: src/ssw_cpp.cpp:278,
-            # :301)
+        if self.table is None:
+            # disabled (cleared) aligner: Align returns false and leaves the
+            # alignment untouched (ref: src/ssw_cpp.cpp:278)
             return [0] * len(queries), [Alignment() for _ in queries]
+        empty = [len(q) == 0 for q in queries]
+        if any(empty):
+            # per-query failure, like the reference's per-call Align check
+            # (ref: src/ssw_cpp.cpp:301): only the empty query gets flag 0 +
+            # an untouched Alignment; the rest of the batch still aligns
+            live = [q for q, e in zip(queries, empty) if not e]
+            if isinstance(mask_len, (int, np.integer)):
+                ml_live = mask_len
+            else:
+                ml_live = [m for m, e in zip(mask_len, empty) if not e]
+            lf, la = self.align_batch(live, ref, filter, ml_live)
+            flags = []
+            als = []
+            it = iter(zip(lf, la))
+            for e in empty:
+                if e:
+                    flags.append(0)
+                    als.append(Alignment())
+                else:
+                    f_, a_ = next(it)
+                    flags.append(f_)
+                    als.append(a_)
+            return flags, als
         if ref is not None:
             if len(ref) == 0:
                 return [0] * len(queries), [Alignment() for _ in queries]

@@ -194,31 +194,35 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
     from ssw_tpu import profiling
     counter = (profiling.GcupsCounter()
                if os.environ.get("SSW_TPU_PROFILE") else None)
-    ctx = contextlib.ExitStack()
-    if counter is not None:
-        ctx.enter_context(pipeline.profiled(counter))
-        ctx.enter_context(profiling.trace(os.environ.get("SSW_TPU_TRACE")))
-    with counter.phase("parse_target") if counter else contextlib.nullcontext():
-        targets = read_fastx_all(target_path)
-        enc_targets = [encode_with_table(t.seq, table) for t in targets]
+    with contextlib.ExitStack() as ctx:
+        # contexts enter INSIDE the with so a parse failure still unwinds
+        # the module-global pipeline._counter (advisor round 2)
+        if counter is not None:
+            ctx.enter_context(pipeline.profiled(counter))
+            ctx.enter_context(
+                profiling.trace(os.environ.get("SSW_TPU_TRACE")))
+        with (counter.phase("parse_target") if counter
+              else contextlib.nullcontext()):
+            targets = read_fastx_all(target_path)
+            enc_targets = [encode_with_table(t.seq, table) for t in targets]
 
-    rc_allowed = opts["reverse"] and n == 5
-    flag = 2 if opts["path"] else 0
-    filt = opts["filter"]
+        rc_allowed = opts["reverse"] and n == 5
+        flag = 2 if opts["path"] else 0
+        filt = opts["filter"]
 
-    batch_size = 2048
-    batch: list = []
+        batch_size = 2048
+        batch: list = []
 
-    def flush_batch():
-        if not batch:
+        def flush_batch():
+            if not batch:
+                return 0
+            for text in render_batch(batch, targets, enc_targets, mat, opts,
+                                     table, sam, filt, flag, rc_allowed,
+                                     err):
+                out.write(text)
+            batch.clear()
             return 0
-        for text in render_batch(batch, targets, enc_targets, mat, opts,
-                                 table, sam, filt, flag, rc_allowed, err):
-            out.write(text)
-        batch.clear()
-        return 0
 
-    with ctx:
         for rec in read_fastx(query_path):
             if opts["reverse"] and n == 24:
                 err.write("Reverse complement alignment is not available "

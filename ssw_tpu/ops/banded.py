@@ -103,6 +103,14 @@ def banded_cigar_batch(sub_refs, sub_reads, scores, gapO: int, gapE: int,
     results = []
     for p in range(n_pairs):
         off, ln = int(meta[2 * p]), int(meta[2 * p + 1])
-        results.append([int(x) for x in out[off:off + ln]] if ln > 0
-                       else None)
+        if ln > 0:
+            results.append([int(x) for x in out[off:off + ln]])
+        elif ln < 0:
+            # native capacity-overflow marker: re-run this pair through the
+            # per-pair path (which falls back to the numpy engine on the
+            # same condition) instead of mislabeling it a banded failure
+            results.append(banded_cigar(refs8[p], reads8[p], int(sc[p]),
+                                        gapO, gapE, mat))
+        else:
+            results.append(None)
     return results

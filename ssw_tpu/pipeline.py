@@ -143,17 +143,25 @@ def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
     bucket with the SAME target array, and re-uploading a chromosome-scale
     reference through the host link every call dominated the long-target
     wall time (10 Mbp = 40 MB per call)."""
+    def fp(a):
+        # cheap content fingerprint guarding against in-place mutation of a
+        # cached host array between calls (advisor round 2): ends + a sparse
+        # stride sample; O(1)-ish even for chromosome-scale targets
+        s = a[:: max(len(a) // 64, 1)]
+        return (len(a), a[:8].tobytes(), a[-8:].tobytes(), s.tobytes())
+
     ent = _REF_CACHE.get(id(ref_np))
     if ent is not None:
-        np0, pc0, Rp0, dev = ent
-        if np0 is ref_np and pc0 == pad_code and Rp0 == Rp:
+        np0, pc0, Rp0, fp0, dev = ent
+        if (np0 is ref_np and pc0 == pad_code and Rp0 == Rp
+                and fp0 == fp(ref_np)):
             return dev
     ref_padded = np.full(Rp, pad_code, dtype=np.int32)
     ref_padded[: len(ref_np)] = ref_np
     dev = jnp.asarray(ref_padded)
     while len(_REF_CACHE) >= _REF_CACHE_CAP:
         _REF_CACHE.pop(next(iter(_REF_CACHE)))
-    _REF_CACHE[id(ref_np)] = (ref_np, pad_code, Rp, dev)
+    _REF_CACHE[id(ref_np)] = (ref_np, pad_code, Rp, fp(ref_np), dev)
     return dev
 
 
@@ -636,8 +644,13 @@ def align_batch_sharded(req: BatchRequest, mesh, backend: str = "auto") -> list:
                 "Please set 2 to the score_size parameter of the function "
                 "ssw_init, otherwise the alignment results will be "
                 "incorrect.\n")
+    # the host-side tail (begin-finding reverse pass) uses the same
+    # backend selection as the single-device path: on a real TPU mesh the
+    # Pallas per-read kernel runs on the local device (it is a
+    # single-device pass over a tiny subset; no sharding needed)
     return _finish_batch(req, score, end_ref, end_read, score2,
-                         ref_end2, word, null_mask, mat_ext, "scan")
+                         ref_end2, word, null_mask, mat_ext,
+                         pick_backend(backend))
 
 
 def pipeline_fallback(req: BatchRequest) -> list:

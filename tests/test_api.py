@@ -56,3 +56,16 @@ def test_align_matches_oracle():
 def test_lazy_api_exports():
     assert ssw_tpu.Aligner is api.Aligner
     assert ssw_tpu.Filter is api.Filter
+
+
+def test_empty_query_fails_individually():
+    """An empty query in a batch fails only that entry (flag 0, untouched
+    Alignment) — the rest of the batch still aligns
+    (ref: src/ssw_cpp.cpp:301 checks per call)."""
+    ref = "CAGCCTTTCTGACCCGGAAATCAAAATAGGCACAACAAA"
+    aligner = api.Aligner()
+    flags, als = aligner.align_batch(["CTGAGCCGGTAAATC", "", "ACGT"], ref,
+                                     api.Filter(), mask_len=15)
+    assert flags[1] == 0 and als[1].sw_score == 0
+    assert als[0].sw_score == 21 and als[0].ref_begin == 8
+    assert als[2].sw_score > 0
