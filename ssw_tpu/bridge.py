@@ -25,7 +25,17 @@ Protocol (one JSON object per line):
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+if os.environ.get("SSW_TPU_BRIDGE_PLATFORM"):
+    # the axon sitecustomize ignores JAX_PLATFORMS; only a pre-first-use
+    # config update selects the backend.  Worker subprocesses (Java/C
+    # clients, tests) set SSW_TPU_BRIDGE_PLATFORM=cpu to stay off the TPU.
+    import jax
+
+    jax.config.update("jax_platforms",
+                      os.environ["SSW_TPU_BRIDGE_PLATFORM"])
 
 import numpy as np
 
