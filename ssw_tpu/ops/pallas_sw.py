@@ -83,12 +83,14 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                     maskneg_ref,       # VMEM (B, L) dt: 0 valid / neg pad
                     seg_bias_ref,      # VMEM (B, L) int32 seg_id * SEG_BUMP
                     seg_reset_ref,     # VMEM (B, L) int32 0/1
-                    maxcol_ref,        # out VMEM (B, COL_BLOCK) dt
+                    maxcol_ref,        # out VMEM (B, COL_BLOCK) dt, or
+                                       # (B, 1) int32 blockmax accumulator
                     gmax_ref,          # out VMEM (B, 1) int32
                     end_ref_ref,       # out VMEM (B, 1) int32
                     h_best_ref,        # out VMEM (B, L) dt
                     H_ref, E_ref,      # scratch VMEM (B, L) dt
-                    *, gapO: int, gapE: int, L: int, quirk: bool, dt):
+                    *, gapO: int, gapE: int, L: int, quirk: bool, dt,
+                    blockmax: bool = False):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
 
@@ -99,6 +101,11 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         gmax_ref[...] = jnp.zeros_like(gmax_ref)
         end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
         h_best_ref[...] = jnp.zeros_like(h_best_ref)
+
+    if blockmax:
+        # fresh (B, 1) output slot per grid step: running own-gated block
+        # maximum, floored at 0 (matches second_best_batch's disallowed->0)
+        maxcol_ref[...] = jnp.zeros_like(maxcol_ref)
 
     dmg = dmg_ref[...]
     gmd = gmd_ref[...]
@@ -139,14 +146,22 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
 
         colmax = jnp.max((H + maskneg).astype(jnp.int32), axis=1,
                          keepdims=True)  # (B, 1) int32
-        # lane-masked select instead of a single-lane dynamic store (Mosaic
-        # requires lane offsets to be 128-aligned)
-        lane = jax.lax.broadcasted_iota(jnp.int32,
-                                        (colmax.shape[0], COL_BLOCK), 1)
-        maxcol_ref[...] = jnp.where(lane == j, colmax.astype(dt),
-                                    maxcol_ref[...])
+        own = own_ref[0, 0, j] > 0
+        if blockmax:
+            # per-block maxima only (streaming suboptimal scan): the
+            # full-resolution columns near the final window are
+            # reconstructed later by a bounded per-read window re-run
+            maxcol_ref[...] = jnp.maximum(
+                maxcol_ref[...], jnp.where(own, colmax, 0))
+        else:
+            # lane-masked select instead of a single-lane dynamic store
+            # (Mosaic requires lane offsets to be 128-aligned)
+            lane = jax.lax.broadcasted_iota(jnp.int32,
+                                            (colmax.shape[0], COL_BLOCK), 1)
+            maxcol_ref[...] = jnp.where(lane == j, colmax.astype(dt),
+                                        maxcol_ref[...])
         gmax = gmax_ref[...]
-        upd = (colmax > gmax) & (own_ref[0, 0, j] > 0)
+        upd = (colmax > gmax) & own
         gmax_ref[...] = jnp.where(upd, colmax, gmax)
         end_ref_ref[...] = jnp.where(upd, idx_ref[0, 0, j],
                                      end_ref_ref[...])
@@ -157,17 +172,18 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
 
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
-                                              "use_i16", "interpret"))
+                                              "use_i16", "interpret",
+                                              "blockmax"))
 def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   seg_id, seg_start, gapO: int, gapE: int,
                   quirk: bool = True, use_i16: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, blockmax: bool = False):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
     neg = NEG16 if use_i16 else NEG
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
-                               quirk=quirk, dt=dt)
+                               quirk=quirk, dt=dt, blockmax=blockmax)
     decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
     dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(dt)
     gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(dt)
@@ -176,8 +192,16 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = (seg_start.astype(bool)
                  | (seg_prev != seg_id)).astype(jnp.int32)
+    if blockmax:
+        mc_shape = jax.ShapeDtypeStruct((B, nblocks), jnp.int32)
+        mc_spec = pl.BlockSpec((B, 1), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    else:
+        mc_shape = jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt)
+        mc_spec = pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
     out_shape = (
-        jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt),
+        mc_shape,
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, L), dt),
@@ -199,8 +223,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
             vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         out_specs=(
-            pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            mc_spec,
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -319,18 +342,30 @@ OPT_LANES = 32768
 
 def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
                        gapO: int, gapE: int, quirk: bool = True,
-                       max_sub: int | None = None):
+                       max_sub: int | None = None, blockmax: bool = False,
+                       valid_len: int | None = None):
     """Drop-in equivalent of scan_sw.forward_shared_ref running the Pallas
     kernel.  profile here is (B, n1, L) like the scan path; transposed and
     re-blocked internally.  max_sub = max|substitution score| enables the
-    int16 fast tier when the value range allows it."""
+    int16 fast tier when the value range allows it.
+
+    blockmax: emit (B, ceil(R/COL_BLOCK)) per-block column maxima (int32,
+    >= 0, unclamped) instead of the full (B, R) per-column array — the
+    bounded-memory streaming suboptimal-scan input.  valid_len gates which
+    columns contribute (i < valid_len; defaults to R).  Scores/ends are
+    identical either way (padded columns can never strictly exceed the
+    running max)."""
     B, n1, L = profile.shape
     R = ref.shape[0]
     Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
     ref_padded = jnp.full((Rp,), n1 - 1, dtype=jnp.int32).at[:R].set(ref)
     ref_blocks = ref_padded.reshape(Rp // COL_BLOCK, 1, COL_BLOCK)
     idx_blocks = jnp.arange(Rp, dtype=jnp.int32).reshape(ref_blocks.shape)
-    own_blocks = jnp.ones(ref_blocks.shape, jnp.int32)
+    if blockmax:
+        vl = R if valid_len is None else valid_len
+        own_blocks = (idx_blocks < jnp.int32(vl)).astype(jnp.int32)
+    else:
+        own_blocks = jnp.ones(ref_blocks.shape, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
 
@@ -359,7 +394,8 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         maxcol, gmax, end_ref, h_best = _forward_call(
             jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
             own_blocks, take(col_mask, 0), take(seg_id, 0),
-            take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret)
+            take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret,
+            blockmax)
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
@@ -369,12 +405,15 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         cand = jnp.where(hit, j, L)
         end_read = jnp.min(cand, axis=1)
         end_read = jnp.where(end_read == L, rl - 1, end_read)
-        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read,
-                     # clip: lower bound restores the scan path's 0 for
-                     # all-masked (empty) reads whose colmax is the negative
-                     # sentinel; upper bound is the reference word kernel's
-                     # saturation point (adds_epi16)
-                     jnp.clip(maxcol[:Bc, :R], 0, 32767).astype(jnp.uint16)))
+        if blockmax:
+            mc_out = maxcol[:Bc]
+        else:
+            # clip: lower bound restores the scan path's 0 for all-masked
+            # (empty) reads whose colmax is the negative sentinel; upper
+            # bound is the reference word kernel's saturation point
+            # (adds_epi16)
+            mc_out = jnp.clip(maxcol[:Bc, :R], 0, 32767).astype(jnp.uint16)
+        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read, mc_out))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
@@ -396,14 +435,21 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
                     gmax_ref,          # out VMEM (B, 1) int32
                     end_ref_ref,       # out VMEM (B, 1) int32
                     h_best_ref,        # out VMEM (B, L) int32
-                    H_ref, E_ref,      # scratch VMEM (B, L)
-                    done_ref,          # scratch VMEM (B, 1) int32
-                    *, gapO: int, gapE: int, L: int, quirk: bool):
+                    *rest_refs,        # [mc_ref (B, REV_CB) if emit_maxcol]
+                                       # + scratch H, E (B, L), done (B, 1)
+                    gapO: int, gapE: int, L: int, quirk: bool,
+                    emit_maxcol: bool = False):
     """Begin-finding pass: per-read reference windows with the reference's
     terminate-at-score1 column-loop break (ref: src/ssw.c:339-341,918-930).
     Same DP recurrence as _forward_kernel; the profile gather happens
     outside (XLA take_along_axis) and streams in as per-column (B, L)
-    substitution slabs."""
+    substitution slabs.  emit_maxcol adds a (B, REV_CB) per-column-maxima
+    output block per grid step (the streaming suboptimal scan's window
+    re-runs, clamped at 0 like the scan path)."""
+    if emit_maxcol:
+        mc_ref, H_ref, E_ref, done_ref = rest_refs
+    else:
+        H_ref, E_ref, done_ref = rest_refs
     block = pl.program_id(0)
     neg = jnp.int32(NEG)
 
@@ -450,6 +496,12 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
 
         colmax = jnp.maximum(
             jnp.max(H + maskneg, axis=1, keepdims=True), 0)  # (B, 1)
+        if emit_maxcol:
+            # each lane u of the fresh (B, REV_CB) block is written exactly
+            # once across the unrolled loop, so no init pass is needed
+            lane = jax.lax.broadcasted_iota(jnp.int32,
+                                            (colmax.shape[0], REV_CB), 1)
+            mc_ref[...] = jnp.where(lane == u, colmax, mc_ref[...])
         done = done_ref[...]
         gmax = gmax_ref[...]
         upd = (colmax > gmax) & (done == 0)
@@ -461,14 +513,15 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
 
 
 @functools.partial(jax.jit, static_argnames=("L", "gapO", "gapE", "quirk",
-                                              "interpret"))
+                                              "interpret", "emit_maxcol"))
 def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
-                  gapO: int, gapE: int, quirk: bool, interpret: bool):
+                  gapO: int, gapE: int, quirk: bool, interpret: bool,
+                  emit_maxcol: bool = False):
     B, WL = subs.shape
     W = WL // L
     nblocks = W // REV_CB
     kernel = functools.partial(_perread_kernel, gapO=gapO, gapE=gapE, L=L,
-                               quirk=quirk)
+                               quirk=quirk, emit_maxcol=emit_maxcol)
     decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
     dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(jnp.int32)
     gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(jnp.int32)
@@ -493,7 +546,9 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        ) + ((pl.BlockSpec((B, REV_CB), lambda i: (0, i),
+                           memory_space=pltpu.VMEM),) if emit_maxcol
+             else ()),
         scratch_shapes=[
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((B, L), jnp.int32),
@@ -504,7 +559,7 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
-    )
+    ) + ((jax.ShapeDtypeStruct((B, W), jnp.int32),) if emit_maxcol else ())
     cost = pl.CostEstimate(
         flops=int(W) * B * L * 40,
         bytes_accessed=int(W) * B * L * 4,
@@ -517,13 +572,14 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
 
 def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
                         gapO: int, gapE: int, quirk: bool = True,
-                        terminate=None):
+                        terminate=None, emit_maxcol: bool = False):
     """Pallas drop-in for scan_sw.forward_perread_ref (ref: the reverse
     begin-finding pass, src/ssw.c:918-930): every read has its own (B, W)
     reference window.  The per-column profile gather is hoisted out of the
     kernel — XLA computes subs[b, w, :] = profile[b, refw[b, w], :] once
     and the kernel streams (B, REV_CB, L) slabs from HBM, overlapping the
-    DMA with the DP chain."""
+    DMA with the DP chain.  emit_maxcol adds a (B, W) per-column-maxima
+    output (streaming suboptimal window re-runs)."""
     B, n1, L = profile.shape
     W = refw.shape[1]
     Wp = (W + REV_CB - 1) // REV_CB * REV_CB
@@ -558,10 +614,11 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
         subs = jnp.take_along_axis(
             take(prof8, 0), take(refw_p, n1 - 1)[:, :, None],
             axis=1).reshape(Bp if pad else Bc, -1)
-        gmax, end_ref, h_best = _perread_call(
+        res = _perread_call(
             subs, take(terminate, -1)[:, None], take(col_mask, 0),
             take(seg_id, 0), take(seg_start, 1), L, gapO, gapE, quirk,
-            interpret)
+            interpret, emit_maxcol)
+        gmax, end_ref, h_best = res[:3]
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
         gmax = gmax[:Bc]
@@ -569,11 +626,14 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
         cand = jnp.where(hit, j, L)
         end_read = jnp.min(cand, axis=1)
         end_read = jnp.where(end_read == L, rl - 1, end_read)
-        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read))
+        out = (gmax[:, 0], end_ref[:Bc, 0], end_read)
+        if emit_maxcol:
+            out = out + (res[3][:Bc, :W],)
+        outs.append(out)
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
-                 for k in range(3))
+                 for k in range(len(outs[0])))
 
 
 def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,

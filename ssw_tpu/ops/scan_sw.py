@@ -117,17 +117,23 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     return score, end_ref, end_read, max_column.swapaxes(0, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk"))
+@functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
+                                              "emit_maxcol"))
 def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
                         gapO: int, gapE: int, quirk: bool = True,
-                        terminate=None):
+                        terminate=None, emit_maxcol: bool = False):
     """Forward pass where every read has its own reference window (B, W);
-    used by the begin-finding reverse pass.  No max_column output.
+    used by the begin-finding reverse pass and by the streaming suboptimal
+    scan's window re-runs.
 
     terminate: optional (B,) int32 — stop recording new best hits after the
     column whose masked max equals the value (the reference kernels break
     out of the column loop there, ref: src/ssw.c:339-341), so the returned
     best is the best up to and including that column.  -1 disables.
+
+    emit_maxcol: also return per-column maxima (B, W) int32 (>= 0, NOT
+    clamped at 32767 — callers clamp before comparisons to match the
+    reference word kernel's saturation, ref: _mm_adds_epi16).
     """
     B, _, L = profile.shape
     decay = jnp.arange(L, dtype=jnp.int32)[None, :] * gapE
@@ -145,13 +151,35 @@ def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
                                        seg_bias, seg_reset, col_mask,
                                        col_idx, quirk, gate=~done)
         done = done | (colmax == terminate)
-        return (state, done), None
+        return (state, done), (colmax if emit_maxcol else None)
 
     W = refw.shape[1]
     idxs = jnp.arange(W, dtype=jnp.int32)
-    (state, _), _ = jax.lax.scan(
+    (state, _), mc = jax.lax.scan(
         step, (_init_state(B, L), jnp.zeros((B,), bool)), (refw.T, idxs))
-    return _finalize(state, read_len, L)
+    out = _finalize(state, read_len, L)
+    if emit_maxcol:
+        return out + (mc.swapaxes(0, 1),)
+    return out
+
+
+# block width of the streaming suboptimal scan's coarse per-block maxima
+# (matches the Pallas kernel's COL_BLOCK so blockmax falls out of the grid)
+BM = 256
+
+
+@functools.partial(jax.jit, static_argnames=("ref_len",))
+def blockmax_reduce(max_column, ref_len: int):
+    """(B, R) per-column maxima -> (B, ceil(R/BM)) per-block maxima over the
+    valid columns (i < ref_len), zero-floored — the scan-backend twin of
+    the Pallas kernel's streamed blockmax output."""
+    B, R = max_column.shape
+    Rp = (R + BM - 1) // BM * BM
+    i = jnp.arange(Rp, dtype=jnp.int32)
+    mc = jnp.zeros((B, Rp), jnp.int32).at[:, :R].set(
+        max_column.astype(jnp.int32))
+    mc = jnp.where((i < ref_len)[None, :], mc, 0)
+    return jnp.max(mc.reshape(B, Rp // BM, BM), axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("ref_len",))

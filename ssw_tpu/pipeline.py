@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 import sys
 from dataclasses import dataclass
 
@@ -32,7 +33,7 @@ import numpy as np
 
 from ssw_tpu.core import oracle
 from ssw_tpu.core.encoding import matrix_bias
-from ssw_tpu.ops import common, scan_sw
+from ssw_tpu.ops import common, scan_sw, subopt
 
 # -- observability hook (ssw_tpu/profiling.py) ----------------------------
 # an active GcupsCounter collects per-phase seconds + useful-cell counts
@@ -97,6 +98,28 @@ MAXCOL_HARD_CAP = 3 << 30  # bound for one uint16 maxcol buffer.  The
                            # narrowing — int16 stores are Mosaic-blocked
                            # (see pallas_sw), so 256-row chunks OOM on
                            # 10 Mbp targets; 3G (128 rows) is safe
+
+
+def _restart_margin(L: int, mat: np.ndarray, gapO: int, gapE: int) -> int:
+    """Columns of warm-up after which a zero-state DP restart is exact (see
+    ops/subopt.py): a dependency chain either moves a lane up (at most L
+    lane steps, including the zero-cost diagonal rides through padded
+    rows/columns) or pays at least min(gapO, gapE) from a value bounded by
+    L * max|mat|.  _window_len already bounds the pay-down span; add the
+    full lane budget plus slack."""
+    return _window_len(L, 1 << 30, mat, gapO, gapE) + L + 256
+
+
+def _use_streaming(Rp_est: int, L_est: int) -> bool:
+    """Stream the suboptimal scan (per-block maxima + bounded window
+    re-runs) when materializing (B, R) per-column maxima would force the
+    forward pass below its lane sweet spot — chromosome-scale targets.
+    SSW_TPU_STREAM_SUBOPT=0/1 forces either path (testing)."""
+    env = os.environ.get("SSW_TPU_STREAM_SUBOPT")
+    if env in ("0", "1"):
+        return env == "1"
+    rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
+    return rows_cap < _sweet_rows(L_est)
 
 
 def _sweet_rows(L: int) -> int:
@@ -165,6 +188,26 @@ def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
     return dev
 
 
+def _prep_core(reads_padded, read_len, mat_ext, col_word, seg_rows, L: int):
+    profile = jnp.transpose(mat_ext[:, reads_padded], (1, 0, 2))
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rl = read_len[:, None]
+
+    def tier(word_rows):
+        lanes = jnp.where(word_rows[:, None], 8, 16).astype(jnp.int32)
+        sl_raw = (rl + lanes - 1) // lanes
+        return lanes, sl_raw
+
+    lanes_c, sl_c = tier(col_word)
+    col_mask = j < sl_c * lanes_c
+    lanes_s, sl_raw = tier(seg_rows)
+    sl = jnp.maximum(sl_raw, 1)
+    seg_div = j // sl
+    seg = jnp.minimum(seg_div, lanes_s - 1)
+    seg_start = (j % sl == 0) & (seg == seg_div)
+    return profile, col_mask, seg.astype(jnp.int8), seg_start
+
+
 @functools.partial(jax.jit, static_argnames=("L", "seg_word"))
 def _prep_device(reads_padded, read_len, mat_ext, col_word, L: int,
                  seg_word: bool):
@@ -178,24 +221,19 @@ def _prep_device(reads_padded, read_len, mat_ext, col_word, L: int,
     arrays use the single seg_word tier — they only matter on the quirk
     path, which never speculates.  Semantics mirror
     common.batch_geometry/build_profile exactly."""
-    profile = jnp.transpose(mat_ext[:, reads_padded], (1, 0, 2))
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    rl = read_len[:, None]
-
-    def tier(word_rows):
-        lanes = jnp.where(word_rows[:, None], 8, 16).astype(jnp.int32)
-        sl_raw = (rl + lanes - 1) // lanes
-        return lanes, sl_raw
-
-    lanes_c, sl_c = tier(col_word)
-    col_mask = j < sl_c * lanes_c
     seg_rows = jnp.full(read_len.shape, seg_word, bool)
-    lanes_s, sl_raw = tier(seg_rows)
-    sl = jnp.maximum(sl_raw, 1)
-    seg_div = j // sl
-    seg = jnp.minimum(seg_div, lanes_s - 1)
-    seg_start = (j % sl == 0) & (seg == seg_div)
-    return profile, col_mask, seg.astype(jnp.int8), seg_start
+    return _prep_core(reads_padded, read_len, mat_ext, col_word, seg_rows, L)
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
+                       seg_word_rows, L: int):
+    """_prep_device with per-read seg tiers: the streaming suboptimal
+    scan's window re-runs serve reads at their FINAL tier, which mixes
+    byte and word rows (and, on the quirk path, seg geometries) in one
+    batch."""
+    return _prep_core(reads_padded, read_len, mat_ext, col_word,
+                      seg_word_rows, L)
 
 
 def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
@@ -206,18 +244,85 @@ def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
 
 
 def _forward(profile, ref_codes, geometry, gapO, gapE, quirk, backend,
-             max_sub=None):
+             max_sub=None, blockmax=False, valid_len=None):
     if backend == "pallas":
         from ssw_tpu.ops import pallas_sw
         return pallas_sw.forward_shared_ref(
             profile, ref_codes, jnp.asarray(geometry.read_len),
             jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
             jnp.asarray(geometry.seg_start), gapO, gapE, quirk,
-            max_sub=max_sub)
-    return scan_sw.forward_shared_ref(
+            max_sub=max_sub, blockmax=blockmax, valid_len=valid_len)
+    out = scan_sw.forward_shared_ref(
         profile, ref_codes, jnp.asarray(geometry.read_len),
         jnp.asarray(geometry.col_mask), jnp.asarray(geometry.seg_id),
         jnp.asarray(geometry.seg_start), gapO, gapE, quirk)
+    if blockmax:
+        # the portable backend has no streamed blockmax; reduce the full
+        # array (CPU memory is not the scarce resource there) so the
+        # streaming path is testable bit-for-bit on any backend
+        score, end_ref, end_read, mc = out
+        vl = mc.shape[1] if valid_len is None else valid_len
+        return score, end_ref, end_read, scan_sw.blockmax_reduce(mc, vl)
+    return out
+
+
+def _second_best_streaming(blockmax_d, end_ref, mask_len_p, word, ref_len,
+                           ref_ext_dev, reads_padded, read_len, mat_ext,
+                           L, gapO, gapE, quirk, backend, D, Wb, Wb2):
+    """Bounded-memory (score2, ref_end2), bit-identical to
+    scan_sw.second_best_batch on the full per-column maxima (ref:
+    src/ssw.c:358-381): per-block maxima come from the forward kernel;
+    column resolution near the exclusion window and inside the winning
+    block is reconstructed by per-read window re-runs of the DP, exact
+    thanks to the restart margin D (ops/subopt.py).  Two bounded re-runs
+    replace a (B, R) buffer that is multi-GB at chromosome scale."""
+    e = end_ref.astype(np.int32)
+    ml = mask_len_p.astype(np.int32)
+    lo = np.maximum(e - ml, 0)
+    blo = lo // subopt.BM
+    ws = np.maximum(blo * subopt.BM - D, 0).astype(np.int32)
+
+    # per-read FINAL-tier geometry: mixed byte/word rows (and mixed seg
+    # geometries on the quirk path) in one batch
+    word_d = jnp.asarray(word)
+    prof_s, cm_s, seg_s, ss_s = _prep_device_mixed(
+        reads_padded.astype(np.int8), read_len, mat_ext, word_d, word_d, L)
+    if backend == "pallas":
+        from ssw_tpu.ops import pallas_sw
+        rev_fn = pallas_sw.forward_perread_ref
+    else:
+        rev_fn = scan_sw.forward_perread_ref
+    rl_d = jnp.asarray(read_len)
+
+    refw = subopt.gather_windows(ref_ext_dev, jnp.asarray(ws), Wb)
+    mc_win = rev_fn(prof_s, refw, rl_d, cm_s, seg_s, ss_s, gapO, gapE,
+                    quirk, emit_maxcol=True)[3]
+    s2, hasA, hasP, hasB, firstP_i, bstar = subopt.compose_window(
+        blockmax_d, mc_win, jnp.asarray(ws), jnp.asarray(e),
+        jnp.asarray(ml), word_d, ref_len)
+    packed = np.asarray(jnp.stack(
+        [s2, hasA.astype(jnp.int32), hasP.astype(jnp.int32),
+         hasB.astype(jnp.int32), firstP_i, bstar]))
+    s2_h, hasA_h, hasP_h, hasB_h, firstP_h, bstar_h = packed
+
+    # resolve the first-attaining column of block-region winners with a
+    # second bounded re-run (run unconditionally: static shapes, tiny)
+    ws2 = np.maximum(bstar_h * subopt.BM - D, 0).astype(np.int32)
+    refw2 = subopt.gather_windows(ref_ext_dev, jnp.asarray(ws2), Wb2)
+    mc2 = rev_fn(prof_s, refw2, rl_d, cm_s, seg_s, ss_s, gapO, gapE,
+                 quirk, emit_maxcol=True)[3]
+    fc = np.asarray(subopt.resolve_block(
+        mc2, jnp.asarray(ws2), jnp.asarray(bstar_h.astype(np.int32)),
+        jnp.asarray(s2_h), ref_len))
+
+    # ordered-region precedence: blocks before the window, then the
+    # partial zone, then blocks after (matches the full scan's first-index
+    # tie-break)
+    ref_end2 = np.where(hasA_h > 0, fc,
+                        np.where(hasP_h > 0, firstP_h,
+                                 np.where(hasB_h > 0, fc, 0)))
+    ref_end2 = np.where(s2_h > 0, ref_end2, 0)
+    return s2_h.astype(np.int32), ref_end2.astype(np.int32)
 
 
 def pick_backend(backend: str) -> str:
@@ -281,12 +386,19 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # word rerun + concat can hold ~3 copies, so bound B for huge targets —
     # but hold the kernel's lane sweet spot (OPT_LANES lanes per dispatch,
     # BENCH.md: half-width batches cost ~1.8x per lane) as long as one
-    # maxcol buffer stays under the hard HBM guard
+    # maxcol buffer stays under the hard HBM guard.  When even that would
+    # push below the sweet spot (chromosome-scale targets), stream the
+    # suboptimal scan instead: per-block maxima + bounded window re-runs
+    # lift the cap entirely (VERDICT round-2 item 2).
     Rp_est = common.bucket_size(ref_len, 256)
     L_est = max(Ls) if Ls else 64
-    b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
-    rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
-    b_mem = max(b_mem, min(_sweet_rows(L_est), rows_cap))
+    streaming = _use_streaming(Rp_est, L_est)
+    if streaming:
+        b_mem = max(1024, _sweet_rows(L_est))
+    else:
+        b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+        rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
+        b_mem = max(b_mem, min(_sweet_rows(L_est), rows_cap))
     if B > b_mem:
         results = []
         for lo in range(0, B, b_mem):
@@ -319,7 +431,18 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # columns carry values diagonally at zero cost but can never strictly
     # exceed the running max, and are masked out of the suboptimal scan
     Rp = common.bucket_size(ref_len, 256)
-    ref_codes = _device_ref(req.ref, n, Rp)
+    if streaming:
+        # window sizes for the streaming suboptimal scan's per-read
+        # re-runs; the device target gets Wb extra pad so window slices
+        # never clamp
+        D = _restart_margin(L, req.mat, req.gapO, req.gapE)
+        ml_max = int(mask_len_p.max()) if mask_len_p.size else 15
+        Wb = common.round_up(D + 2 * ml_max + 2 * subopt.BM + 64, 256)
+        Wb2 = common.round_up(D + subopt.BM + 64, 256)
+        ref_ext_dev = _device_ref(req.ref, n, Rp + Wb)
+        ref_codes = ref_ext_dev[:Rp]
+    else:
+        ref_codes = _device_ref(req.ref, n, Rp)
 
     word_tier = req.score_size == 1
     quirk = needs_quirk(req.mat, req.gapE)
@@ -350,7 +473,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     with _phase("forward"):
         score, end_ref, end_read, max_col = _forward(
             jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
-            backend, max_sub)
+            backend, max_sub, blockmax=streaming, valid_len=ref_len)
         # ONE stacked download: each host<->device round trip costs ~28 ms
         # on this link, so per-array fetches dominate small-batch calls
         packed = np.array(jnp.stack([score, end_ref, end_read]))
@@ -385,7 +508,8 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
                     _counter.add_pairs(read_len[idx], ref_len)
                 s_r, er_r, ed_r, mc_r = _forward(
                     jnp.asarray(prof_r), ref_codes, geo_r, req.gapO,
-                    req.gapE, quirk, backend, max_sub)
+                    req.gapE, quirk, backend, max_sub,
+                    blockmax=streaming, valid_len=ref_len)
                 packed_r = np.asarray(jnp.stack([s_r, er_r, ed_r]))
                 score[idx] = packed_r[0, :k]
                 end_ref[idx] = packed_r[1, :k]
@@ -403,19 +527,32 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # suboptimal scores (tier-aware window edges; padded shapes for compile
     # stability, sliced to B below)
     with _phase("suboptimal"):
-        score2, ref_end2 = scan_sw.second_best_batch(
-            jnp.asarray(max_col), jnp.asarray(end_ref),
-            jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
-        packed2 = np.array(jnp.stack([score2, ref_end2]))
-        score2, ref_end2 = packed2[0], packed2[1]
-        if word_sub is not None:
-            idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
-            s2_r, re2_r = scan_sw.second_best_batch(
-                mc_r, er_r, ml_r, ref_len,
-                jnp.full(mc_r.shape[0], rerun_word, bool))
-            packed2r = np.asarray(jnp.stack([s2_r, re2_r]))
-            score2[idx] = packed2r[0, :k]
-            ref_end2[idx] = packed2r[1, :k]
+        if streaming:
+            bm_d = jnp.asarray(max_col)  # (Bp, nblk) int32, on device
+            if word_sub is not None:
+                idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
+                # splice the rerun tier's per-block maxima in: `word` is
+                # already the per-read final tier, so one composition
+                # serves the whole batch
+                bm_d = bm_d.at[jnp.asarray(idx)].set(mc_r[:k])
+            score2, ref_end2 = _second_best_streaming(
+                bm_d, end_ref, mask_len_p, word, ref_len, ref_ext_dev,
+                reads_padded, read_len, mat_ext, L, req.gapO, req.gapE,
+                quirk, backend, D, Wb, Wb2)
+        else:
+            score2, ref_end2 = scan_sw.second_best_batch(
+                jnp.asarray(max_col), jnp.asarray(end_ref),
+                jnp.asarray(mask_len_p), ref_len, jnp.asarray(word))
+            packed2 = np.array(jnp.stack([score2, ref_end2]))
+            score2, ref_end2 = packed2[0], packed2[1]
+            if word_sub is not None:
+                idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
+                s2_r, re2_r = scan_sw.second_best_batch(
+                    mc_r, er_r, ml_r, ref_len,
+                    jnp.full(mc_r.shape[0], rerun_word, bool))
+                packed2r = np.asarray(jnp.stack([s2_r, re2_r]))
+                score2[idx] = packed2r[0, :k]
+                ref_end2[idx] = packed2r[1, :k]
 
     # drop the shape-stability padding before the host stages: duplicates
     # must not emit warnings or run extra reverse passes / tracebacks
