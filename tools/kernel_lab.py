@@ -86,10 +86,20 @@ def make_kernel(variant: str, unroll: int = UNROLL):
     biased = variant == "biased"
     packtrack = variant in ("packtrack", "trimpack")
     ring8 = variant == "ring8"
+    # round-3 probes (see BENCH.md round-3 section):
+    #   noclamp   -- drop h_tilde's 0-clamp (redundant: E is 0-clamped)
+    #   lanetrack -- per-lane (val, col) trackers + per-grid-step blockmax,
+    #                no per-column cross-lane reduce (blockmax-mode shape)
+    #   gatescan  -- 6-level scan when the block-entry colmax bound proves
+    #                no F-carry can cross 63 lanes; else full 8-level
+    #   r3        -- all three combined
+    noclamp = variant in ("noclamp", "r3", "lanetrack_nc", "gatescan_nc")
+    lanetrack = variant in ("lanetrack", "lanetrack_nc", "r3")
+    gatescan = variant in ("gatescan", "gatescan_nc", "r3")
 
     def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
                maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
-               H_ref, E_ref, ring_ref, *, gapO, gapE):
+               H_ref, E_ref, ring_ref, hm_ref, *, gapO, gapE):
         block = pl.program_id(0)
         neg = jnp.int32(NEG)
 
@@ -100,6 +110,90 @@ def make_kernel(variant: str, unroll: int = UNROLL):
             gmax_ref[...] = jnp.zeros_like(gmax_ref)
             end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
             h_best_ref[...] = jnp.zeros_like(h_best_ref)
+            if lanetrack or gatescan:
+                ring_ref[0] = jnp.zeros_like(ring_ref[0])
+                ring_ref[1] = jnp.zeros_like(ring_ref[1])
+                hm_ref[0, 0] = 0
+
+        if lanetrack or gatescan or noclamp:
+            # r3 probe family: per-lane (val, col) trackers / blockmax acc /
+            # level-gated scan.  max_sub = 2 in the lab workload.
+            dmg_l = dmg_ref[...]
+            gmd_l = gmd_ref[...]
+            maskneg_l = maskneg_ref[...]
+            # safe next 16 columns: entry colmax + 16*max_sub below the
+            # radius-63 carry bound gapO + 63*gapE
+            thresh = gapO + 63 * gapE - unroll * 2
+
+            def col_step(j, H, E, bound):
+                code = ref_ref[0, 0, j]
+                sub = profile_ref[code]
+                h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
+                if noclamp:
+                    h_tilde = jnp.maximum(h_diag, E)  # E >= 0 covers the 0
+                else:
+                    h_tilde = jnp.maximum(jnp.maximum(h_diag, E),
+                                          jnp.int32(0))
+                c = h_tilde + dmg_l
+                cm = _prefix_max(c, bound, neg)
+                F = _shift_right(cm, 1, neg) + gmd_l
+                H = jnp.maximum(h_tilde, F)
+                E = jnp.maximum(
+                    jnp.maximum(E - jnp.int32(gapE), H - jnp.int32(gapO)),
+                    jnp.int32(0))
+                H_ref[...] = H
+                E_ref[...] = E
+                if lanetrack:
+                    m = H > ring_ref[0]
+                    ring_ref[0] = jnp.where(m, H, ring_ref[0])
+                    h_best_ref[...] = jnp.where(
+                        m, block * COL_BLOCK + j, h_best_ref[...])
+                    ring_ref[1] = jnp.maximum(ring_ref[1], H + maskneg_l)
+                else:
+                    colmax = jnp.max(H + maskneg_l, axis=1, keepdims=True)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (B, COL_BLOCK), 1)
+                    maxcol_ref[...] = jnp.where(
+                        lane == j, colmax, maxcol_ref[...])
+                    gmax = gmax_ref[...]
+                    upd = colmax > gmax
+                    gmax_ref[...] = jnp.where(upd, colmax, gmax)
+                    end_ref_ref[...] = jnp.where(
+                        upd, block * COL_BLOCK + j, end_ref_ref[...])
+                    h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
+                return H, E
+
+            def body(jj, _):
+                def run16(bound):
+                    H = H_ref[...]
+                    E = E_ref[...]
+                    for u in range(unroll):
+                        H, E = col_step(jj * unroll + u, H, E, bound)
+                    if gatescan:
+                        hm_ref[0, 0] = jnp.max(H + maskneg_l)
+
+                if gatescan:
+                    safe = hm_ref[0, 0] <= thresh
+
+                    @pl.when(safe)
+                    def _fast():
+                        run16(64)
+
+                    @pl.when(jnp.logical_not(safe))
+                    def _full():
+                        run16(L)
+                else:
+                    run16(L)
+                return 0
+
+            jax.lax.fori_loop(0, COL_BLOCK // unroll, body, 0)
+            if lanetrack:
+                # blockmax store + per-grid-step escape of the val tracker
+                maxcol_ref[:, :1] = jnp.max(ring_ref[1], axis=1,
+                                            keepdims=True)
+                ring_ref[1] = jnp.zeros_like(ring_ref[1])
+                gmax_ref[...] = jnp.max(ring_ref[0], axis=1, keepdims=True)
+            return
 
         dmg = dmg_ref[...]
         gmd = gmd_ref[...]
@@ -291,6 +385,7 @@ def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL):
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((8, B, L), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
     out_shape = (
