@@ -31,7 +31,7 @@ from ssw_tpu.core.encoding import (AA_TABLE, BLOSUM50, NT_TABLE, dna_matrix,
                                    encode_with_table, parse_matrix_file,
                                    reverse_complement)
 from ssw_tpu.io import writers
-from ssw_tpu.io.fastx import read_fastx_auto as read_fastx, read_fastx_all
+from ssw_tpu.io.fastx import read_fastx_auto as read_fastx
 
 USAGE = """
 Usage: ssw_test [options] ... <target.fasta> <query.fasta>(or <query.fastq>)
@@ -60,6 +60,16 @@ def _atoi(s: str) -> int:
     except ValueError:
         return 0
 
+
+# many-target streaming bounds: when the target file exceeds one chunk,
+# the CLI re-streams it per read batch in chunks of at most this many
+# records / encoded bases, so memory stays O(batch + chunk) instead of
+# O(targets) (the reference re-reads the target file once per READ,
+# ref: src/main.c:493-531 — same bounded-memory contract, amortized over
+# a whole batch here).  Module constants so tests can force tiny chunks.
+TARGET_CHUNK_COUNT = 256
+TARGET_CHUNK_BASES = 32 << 20
+BATCH_SIZE = 2048  # reads per device batch
 
 _VALUED = "mxoeaf"
 _OPT_KEY = {"m": "match", "x": "mismatch", "o": "gap_open",
@@ -203,25 +213,62 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
                 profiling.trace(os.environ.get("SSW_TPU_TRACE")))
         with (counter.phase("parse_target") if counter
               else contextlib.nullcontext()):
-            targets = read_fastx_all(target_path)
-            enc_targets = [encode_with_table(t.seq, table) for t in targets]
+            # hold the targets in memory only when they fit one chunk;
+            # otherwise stream the file per read batch (bounded memory)
+            gen = _target_chunks(target_path, table)
+            first = next(gen, None)
+            stream_targets = first is not None and next(gen, None) is not None
+            if stream_targets:
+                targets, enc_targets = [], []  # parsed per batch below
+            else:
+                targets, enc_targets = first if first else ([], [])
 
         rc_allowed = opts["reverse"] and n == 5
         flag = 2 if opts["path"] else 0
         filt = opts["filter"]
 
-        batch_size = 2048
+        batch_size = BATCH_SIZE
         batch: list = []
+        # double-buffered driver: batch k+1's device work (uploads +
+        # forward + speculative suboptimal, via align_batch_launch) is
+        # queued BEFORE batch k's host tail (reverse downloads, traceback,
+        # rendering) runs, so host and device overlap across batches.
+        # launch emits no warnings, so stderr order matches the serial
+        # driver exactly.
+        pending = None  # (entries, per-target pends) launched, unrendered
 
-        def flush_batch():
-            if not batch:
-                return 0
-            for text in render_batch(batch, targets, enc_targets, mat, opts,
-                                     table, sam, filt, flag, rc_allowed,
-                                     err):
+        def render_pending(prev):
+            entries, pends = prev
+            per_target = complete_batch(pends, filt)
+            for text in render_results(entries, targets, enc_targets,
+                                       per_target, table, sam, filt, opts,
+                                       err):
                 out.write(text)
-            batch.clear()
-            return 0
+
+        def flush_batch(last=False):
+            nonlocal pending
+            if stream_targets:
+                if batch:
+                    entries = batch[:]
+                    batch.clear()
+                    stream_render_batch(entries, target_path, table, mat,
+                                        opts, sam, filt, flag, rc_allowed,
+                                        out, err)
+                return
+            prev = None
+            if batch:
+                entries = batch[:]
+                batch.clear()
+                pends = launch_batch(entries, enc_targets, mat, opts, filt,
+                                     flag, rc_allowed)
+                prev, pending = pending, (entries, pends)
+            elif last:
+                prev, pending = pending, None
+            if prev is not None:
+                render_pending(prev)
+            if last and pending is not None:
+                render_pending(pending)
+                pending = None
 
         for rec in read_fastx(query_path):
             if opts["reverse"] and n == 24:
@@ -235,7 +282,7 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
             batch.append(entry)
             if len(batch) >= batch_size:
                 flush_batch()
-        flush_batch()
+        flush_batch(last=True)
 
     cpu_time = time.process_time() - start
     err.write(f"CPU time: {cpu_time:f} seconds\n")
@@ -244,33 +291,107 @@ def main(argv: list[str] | None = None, out=None, err=None) -> int:
     return 0
 
 
-def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
-                 flag, rc_allowed, err, mesh=None) -> list[str]:
-    """Align a batch of encoded query entries against every target and
-    render per-read output (read-major, target-minor — the reference's loop
-    order, ref: src/main.c:462,493).  Returns one string per read ("" when
-    everything about the read is suppressed).  With a mesh, the forward
-    pass runs data+sequence parallel (pipeline.align_batch_sharded)."""
+def _target_chunks(path, table):
+    """Lazily parse the target file into ([records], [encoded]) chunks
+    bounded by TARGET_CHUNK_COUNT records / TARGET_CHUNK_BASES bases."""
+    chunk: list = []
+    enc: list = []
+    total = 0
+    for rec in read_fastx(path):
+        chunk.append(rec)
+        e = encode_with_table(rec.seq, table)
+        enc.append(e)
+        total += len(e)
+        if len(chunk) >= TARGET_CHUNK_COUNT or total >= TARGET_CHUNK_BASES:
+            yield chunk, enc
+            chunk, enc, total = [], [], 0
+    if chunk:
+        yield chunk, enc
+
+
+def stream_render_batch(entries, target_path, table, mat, opts, sam, filt,
+                        flag, rc_allowed, out, err):
+    """Bounded-memory many-target path: re-stream the target file in
+    chunks for this read batch, rendering each chunk into per-read
+    buffers so stdout stays read-major/target-minor byte-exact
+    (ref loop order: src/main.c:462,493).  Device work for chunk c+1 is
+    launched before chunk c's host tail runs (same overlap as the batch
+    driver).  Holds O(batch + chunk) sequences, never all targets."""
+    bufs = [io.StringIO() for _ in entries]
+
+    def render_chunk(prev):
+        tchunk, echunk, pends = prev
+        per_target = complete_batch(pends, filt)
+        for bi, entry in enumerate(entries):
+            for ti, t in enumerate(tchunk):
+                res, res_rc = per_target[ti]
+                _emit_pair(bufs[bi], err, entry, t, echunk[ti], res[bi],
+                           res_rc[bi] if res_rc else None, table, sam,
+                           filt, opts)
+
+    prev = None
+    for tchunk, echunk in _target_chunks(target_path, table):
+        pends = launch_batch(entries, echunk, mat, opts, filt, flag,
+                             rc_allowed)
+        if prev is not None:
+            render_chunk(prev)
+        prev = (tchunk, echunk, pends)
+    if prev is not None:
+        render_chunk(prev)
+    for b in bufs:
+        out.write(b.getvalue())
+
+
+def launch_batch(batch, enc_targets, mat, opts, filt, flag, rc_allowed):
+    """Queue the device work for every (target, strand) request of a batch
+    of encoded query entries; no host<->device syncs.  Returns one
+    (pend, pend_rc) per target for complete_batch."""
     reads = [b["num"] for b in batch]
     mask_lens = [len(r) // 2 for r in reads]
-    align = (pipeline.align_batch if mesh is None
-             else lambda req: pipeline.align_batch_sharded(req, mesh))
-    per_target = []
+    pends = []
     for enc_t in enc_targets:
         req = pipeline.BatchRequest(
             reads=reads, ref=enc_t, mat=mat, gapO=opts["gap_open"],
             gapE=opts["gap_extension"], flag=flag, filters=filt,
             filterd=0, mask_len=mask_lens, score_size=2)
-        res = align(req)
-        res_rc = None
+        pend = pipeline.align_batch_launch(req)
+        pend_rc = None
         if rc_allowed:
             req_rc = pipeline.BatchRequest(
                 reads=[b["num_rc"] for b in batch], ref=enc_t, mat=mat,
                 gapO=opts["gap_open"], gapE=opts["gap_extension"],
                 flag=flag, filters=filt, filterd=0, mask_len=mask_lens,
                 score_size=2)
-            res_rc = align(req_rc)
+            pend_rc = pipeline.align_batch_launch(req_rc)
+        pends.append((pend, pend_rc))
+    return pends
+
+
+def complete_batch(pends, filt):
+    """Finish launched requests.  Under -r only the emitted strand's
+    traceback runs (the losing strand's cigar is unobservable in the
+    reference output, src/main.c:505-518; its reverse pass still runs for
+    stderr warning parity — see pipeline.align_batch_finish)."""
+    per_target = []
+    for pend, pend_rc in pends:
+        if pend_rc is None:
+            res = pipeline.align_batch_finish(pend)
+            res_rc = None
+        else:
+            s_f = pipeline.align_batch_scores(pend)
+            s_rc = pipeline.align_batch_scores(pend_rc)
+            rc_wins = (s_rc > s_f) & (s_rc >= filt)  # _emit_pair's pick
+            res = pipeline.align_batch_finish(pend, detail=~rc_wins)
+            res_rc = pipeline.align_batch_finish(pend_rc, detail=rc_wins)
         per_target.append((res, res_rc))
+    return per_target
+
+
+def render_results(batch, targets, enc_targets, per_target, table, sam,
+                   filt, opts, err) -> list[str]:
+    """Render per-read output (read-major, target-minor — the reference's
+    loop order, ref: src/main.c:462,493).  Returns one string per read
+    ("" when everything about the read is suppressed)."""
     rendered = []
     for bi, b in enumerate(batch):
         buf = io.StringIO()
@@ -282,6 +403,39 @@ def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
                        table, sam, filt, opts)
         rendered.append(buf.getvalue())
     return rendered
+
+
+def render_batch(batch, targets, enc_targets, mat, opts, table, sam, filt,
+                 flag, rc_allowed, err, mesh=None) -> list[str]:
+    """Synchronous align + render for one batch (the CLI main loop uses
+    the pipelined launch_batch/complete_batch pair instead).  With a mesh,
+    the forward pass runs data+sequence parallel
+    (pipeline.align_batch_sharded)."""
+    if mesh is None:
+        pends = launch_batch(batch, enc_targets, mat, opts, filt, flag,
+                             rc_allowed)
+        per_target = complete_batch(pends, filt)
+    else:
+        reads = [b["num"] for b in batch]
+        mask_lens = [len(r) // 2 for r in reads]
+        per_target = []
+        for enc_t in enc_targets:
+            req = pipeline.BatchRequest(
+                reads=reads, ref=enc_t, mat=mat, gapO=opts["gap_open"],
+                gapE=opts["gap_extension"], flag=flag, filters=filt,
+                filterd=0, mask_len=mask_lens, score_size=2)
+            res = pipeline.align_batch_sharded(req, mesh)
+            res_rc = None
+            if rc_allowed:
+                req_rc = pipeline.BatchRequest(
+                    reads=[b["num_rc"] for b in batch], ref=enc_t, mat=mat,
+                    gapO=opts["gap_open"], gapE=opts["gap_extension"],
+                    flag=flag, filters=filt, filterd=0, mask_len=mask_lens,
+                    score_size=2)
+                res_rc = pipeline.align_batch_sharded(req_rc, mesh)
+            per_target.append((res, res_rc))
+    return render_results(batch, targets, enc_targets, per_target, table,
+                          sam, filt, opts, err)
 
 
 def _emit_pair(out, err, b, t, enc_t, result, result_rc, table, sam,

@@ -471,13 +471,34 @@ def align_batch_mid(pend: _Pending) -> _Pending:
     return pend
 
 
-def align_batch_finish(pend: _Pending) -> list:
+def align_batch_scores(pend: _Pending) -> np.ndarray:
+    """score1 per read once the forward stage is resolved (drives mid if
+    needed).  Strand-selection drivers (-r) use this to build the `detail`
+    mask for align_batch_finish before paying for any traceback."""
+    align_batch_mid(pend)
+    if pend.results is not None:
+        return np.array([0 if r is None else r.score1
+                         for r in pend.results], dtype=np.int64)
+    out = np.zeros(pend.B, dtype=np.int64)
+    for idx, st in pend.parts:
+        out[list(idx)] = st.score
+    return out
+
+
+def align_batch_finish(pend: _Pending, detail=None) -> list:
+    """Complete an align_batch_launch.  `detail` (optional bool mask, one
+    per read) suppresses the banded traceback for False reads: the
+    reference runs ssw_align for BOTH strands under -r but only the
+    winner's cigar is ever observable (src/main.c:505-518), while the
+    reverse pass must still run for every read because its stderr warning
+    fires for losers too (src/ssw.c:932-935)."""
     if pend.results is not None:
         return pend.results
     align_batch_mid(pend)
     results: list = [None] * pend.B
     for idx, st in pend.parts:
-        for i, r in zip(idx, _leaf_finish(st)):
+        d = None if detail is None else np.asarray(detail)[list(idx)]
+        for i, r in zip(idx, _leaf_finish(st, d)):
             results[i] = r
     pend.results = results
     return results
@@ -740,10 +761,10 @@ def _leaf_mid(st: _LeafState):
     return st
 
 
-def _leaf_finish(st: _LeafState) -> list:
+def _leaf_finish(st: _LeafState, detail=None) -> list:
     return _finish_complete(
         st.req, st.fin, st.score, st.end_ref, st.end_read, st.score2,
-        st.ref_end2, st.null_mask)
+        st.ref_end2, st.null_mask, detail=detail)
 
 
 def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
@@ -794,8 +815,12 @@ def _finish_launch(req: BatchRequest, score, end_ref, end_read, word,
 
 
 def _finish_complete(req: BatchRequest, fin, score, end_ref, end_read,
-                     score2, ref_end2, null_mask):
+                     score2, ref_end2, null_mask, detail=None):
     aligned, want_begin, want_cigar, rev = fin
+    if detail is not None:
+        # skip ONLY the traceback for masked reads — begins and the
+        # reverse-pass warning stay (see align_batch_finish docstring)
+        want_cigar = want_cigar & np.asarray(detail, dtype=bool)
     B = len(req.reads)
     mask_len = _as_masklen_array(req.mask_len, B)
     results: list[oracle.AlignResult | None] = []
