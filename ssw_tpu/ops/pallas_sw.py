@@ -83,29 +83,47 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                     maskneg_ref,       # VMEM (B, L) dt: 0 valid / neg pad
                     seg_bias_ref,      # VMEM (B, L) int32 seg_id * SEG_BUMP
                     seg_reset_ref,     # VMEM (B, L) int32 0/1
-                    maxcol_ref,        # out VMEM (B, COL_BLOCK) dt, or
-                                       # (B, 1) int32 blockmax accumulator
-                    gmax_ref,          # out VMEM (B, 1) int32
-                    end_ref_ref,       # out VMEM (B, 1) int32
-                    h_best_ref,        # out VMEM (B, L) dt
-                    H_ref, E_ref,      # scratch VMEM (B, L) dt
-                    *, gapO: int, gapE: int, L: int, quirk: bool, dt,
+                    *refs,             # outputs + scratch, mode-dependent:
+                                       # blockmax: maxcol (B,1) int32 acc,
+                                       #   bv (B,L) dt, bc (B,L) int32,
+                                       #   scratch H, E, rv (B,L) dt
+                                       # else: maxcol (B,COL_BLOCK) dt,
+                                       #   gmax/end_ref (B,1) int32,
+                                       #   h_best (B,L) dt, scratch H, E
+                    gapO: int, gapE: int, L: int, quirk: bool, dt,
                     blockmax: bool = False):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
+    neg_i = NEG16 if dt == jnp.int16 else NEG
+
+    if blockmax:
+        # lanetrack mode: per-lane (value, first-attainment column)
+        # trackers defer every cross-lane reduce to one segmented reduce
+        # per 256-column grid step — the per-column reduce is the
+        # dominant tracker cost (~17% of kernel time, BENCH.md).  The
+        # global best and end positions are reconstructed outside the
+        # kernel from (bv, bc); the per-block maxima feed the streaming
+        # suboptimal scan (its full-resolution columns are rebuilt by
+        # bounded window re-runs).
+        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref = refs
+    else:
+        maxcol_ref, gmax_ref, end_ref_ref, h_best_ref, H_ref, E_ref = refs
 
     @pl.when(block == 0)
     def _init():
         H_ref[...] = jnp.zeros_like(H_ref)
         E_ref[...] = jnp.zeros_like(E_ref)
-        gmax_ref[...] = jnp.zeros_like(gmax_ref)
-        end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
-        h_best_ref[...] = jnp.zeros_like(h_best_ref)
+        if blockmax:
+            bv_ref[...] = jnp.zeros_like(bv_ref)
+            bc_ref[...] = jnp.full_like(bc_ref, -1)
+        else:
+            gmax_ref[...] = jnp.zeros_like(gmax_ref)
+            end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
+            h_best_ref[...] = jnp.zeros_like(h_best_ref)
 
     if blockmax:
-        # fresh (B, 1) output slot per grid step: running own-gated block
-        # maximum, floored at 0 (matches second_best_batch's disallowed->0)
-        maxcol_ref[...] = jnp.zeros_like(maxcol_ref)
+        # block-local per-lane maxima, reduced once at the end of the step
+        rv_ref[...] = jnp.full_like(rv_ref, neg)
 
     dmg = dmg_ref[...]
     gmd = gmd_ref[...]
@@ -124,7 +142,9 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         H = H_ref[...]
         E = E_ref[...]
         h_diag = _shift_right(H, 1, zero) + sub
-        h_tilde = jnp.maximum(jnp.maximum(h_diag, E), zero)
+        # no 0-clamp on h_tilde: E >= 0 always (its own update clamps), so
+        # max(h_diag, E) >= 0 already
+        h_tilde = jnp.maximum(h_diag, E)
         c = h_tilde + dmg
         cm = _prefix_max(c, L, neg)
         F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
@@ -144,31 +164,43 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         H_ref[...] = H
         E_ref[...] = E
 
-        colmax = jnp.max((H + maskneg).astype(jnp.int32), axis=1,
-                         keepdims=True)  # (B, 1) int32
-        own = own_ref[0, 0, j] > 0
         if blockmax:
-            # per-block maxima only (streaming suboptimal scan): the
-            # full-resolution columns near the final window are
-            # reconstructed later by a bounded per-read window re-run
-            maxcol_ref[...] = jnp.maximum(
-                maxcol_ref[...], jnp.where(own, colmax, 0))
+            # own-gating folded into a scalar offset (non-own columns sink
+            # below every tracked value; they are a suffix of the grid)
+            off = ((jnp.int32(1) - own_ref[0, 0, j])
+                   * jnp.int32(neg_i)).astype(dt)
+            Hm = H + (maskneg + off)
+            bv = bv_ref[...]
+            m = Hm > bv
+            bv_ref[...] = jnp.where(m, Hm, bv)
+            bc_ref[...] = jnp.where(m, idx_ref[0, 0, j], bc_ref[...])
+            rv_ref[...] = jnp.maximum(rv_ref[...], Hm)
         else:
+            colmax = jnp.max((H + maskneg).astype(jnp.int32), axis=1,
+                             keepdims=True)  # (B, 1) int32
+            own = own_ref[0, 0, j] > 0
             # lane-masked select instead of a single-lane dynamic store
             # (Mosaic requires lane offsets to be 128-aligned)
             lane = jax.lax.broadcasted_iota(jnp.int32,
                                             (colmax.shape[0], COL_BLOCK), 1)
             maxcol_ref[...] = jnp.where(lane == j, colmax.astype(dt),
                                         maxcol_ref[...])
-        gmax = gmax_ref[...]
-        upd = (colmax > gmax) & own
-        gmax_ref[...] = jnp.where(upd, colmax, gmax)
-        end_ref_ref[...] = jnp.where(upd, idx_ref[0, 0, j],
-                                     end_ref_ref[...])
-        h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
+            gmax = gmax_ref[...]
+            upd = (colmax > gmax) & own
+            gmax_ref[...] = jnp.where(upd, colmax, gmax)
+            end_ref_ref[...] = jnp.where(upd, idx_ref[0, 0, j],
+                                         end_ref_ref[...])
+            h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
       return 0
 
     jax.lax.fori_loop(0, COL_BLOCK // UNROLL, body, 0)
+
+    if blockmax:
+        # one cross-lane reduce per 256 columns (floored at 0, matching
+        # second_best_batch's disallowed->0)
+        maxcol_ref[...] = jnp.maximum(
+            jnp.max(rv_ref[...].astype(jnp.int32), axis=1, keepdims=True),
+            0)
 
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
@@ -192,22 +224,38 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = (seg_start.astype(bool)
                  | (seg_prev != seg_id)).astype(jnp.int32)
-    if blockmax:
-        mc_shape = jax.ShapeDtypeStruct((B, nblocks), jnp.int32)
-        mc_spec = pl.BlockSpec((B, 1), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)
-    else:
-        mc_shape = jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt)
-        mc_spec = pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)
-    out_shape = (
-        mc_shape,
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        jax.ShapeDtypeStruct((B, L), dt),
-    )
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
+    if blockmax:
+        # lanetrack outputs: (B, nblocks) block maxima + per-lane (value,
+        # first-attainment column) trackers; gmax/end_ref/end_read are
+        # reconstructed by the caller
+        out_shape = (
+            jax.ShapeDtypeStruct((B, nblocks), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), dt),
+            jax.ShapeDtypeStruct((B, L), jnp.int32),
+        )
+        out_specs = (
+            pl.BlockSpec((B, 1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            vmem(), vmem(),
+        )
+        scratch = [pltpu.VMEM((B, L), dt)] * 3
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, L), dt),
+        )
+        out_specs = (
+            pl.BlockSpec((B, COL_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vmem(),
+        )
+        scratch = [pltpu.VMEM((B, L), dt)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
@@ -222,23 +270,15 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                          memory_space=pltpu.VMEM),
             vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
-        out_specs=(
-            mc_spec,
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((B, L), dt),
-            pltpu.VMEM((B, L), dt),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     cost = pl.CostEstimate(
         flops=int(nblocks * COL_BLOCK) * B * L * 40,
         bytes_accessed=int(nblocks * COL_BLOCK) * B * 4,
         transcendentals=0,
     )
-    maxcol, gmax, end_ref, h_best = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -246,7 +286,6 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         interpret=interpret,
     )(ref_blocks, idx_blocks, own_blocks, profile.astype(dt), dmg, gmd,
       maskneg, seg_bias, seg_reset)
-    return maxcol, gmax, end_ref, h_best
 
 
 _I16_OK: bool | None = None
@@ -391,7 +430,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         if pad:
             prof = jnp.concatenate(
                 [prof, jnp.zeros((pad,) + prof.shape[1:], prof.dtype)])
-        maxcol, gmax, end_ref, h_best = _forward_call(
+        res = _forward_call(
             jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
             own_blocks, take(col_mask, 0), take(seg_id, 0),
             take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret,
@@ -399,21 +438,38 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
-        gmax = gmax[:Bc]
-        hit = ((h_best[:Bc].astype(jnp.int32) == gmax) & (j < rl[:, None])
-               & (gmax > 0))
-        cand = jnp.where(hit, j, L)
-        end_read = jnp.min(cand, axis=1)
-        end_read = jnp.where(end_read == L, rl - 1, end_read)
         if blockmax:
+            # reconstruct the global trackers from the per-lane (value,
+            # first-attainment column) pairs: the global max first appears
+            # at the earliest first-attainment among lanes holding it, and
+            # end_read is the lowest such lane at that column (a lane has
+            # H == gmax at column end_ref iff its tracker reads
+            # (gmax, end_ref) — running maxes only strictly increase)
+            maxcol, bv, bc = res
+            bv32 = bv[:Bc].astype(jnp.int32)
+            bc = bc[:Bc]
+            gmax = jnp.max(bv32, axis=1, keepdims=True)  # >= 0: bv init 0
+            is_g = (bv32 == gmax) & (gmax > 0)
+            end_ref = jnp.min(jnp.where(is_g, bc, jnp.int32(2 ** 30)),
+                              axis=1)
+            end_ref = jnp.where(gmax[:, 0] > 0, end_ref, -1)
+            hit = is_g & (bc == end_ref[:, None]) & (j < rl[:, None])
             mc_out = maxcol[:Bc]
         else:
+            maxcol, gmax, end_ref, h_best = res
+            gmax = gmax[:Bc]
+            end_ref = end_ref[:Bc, 0]
+            hit = ((h_best[:Bc].astype(jnp.int32) == gmax)
+                   & (j < rl[:, None]) & (gmax > 0))
             # clip: lower bound restores the scan path's 0 for all-masked
             # (empty) reads whose colmax is the negative sentinel; upper
             # bound is the reference word kernel's saturation point
             # (adds_epi16)
             mc_out = jnp.clip(maxcol[:Bc, :R], 0, 32767).astype(jnp.uint16)
-        outs.append((gmax[:, 0], end_ref[:Bc, 0], end_read, mc_out))
+        cand = jnp.where(hit, j, L)
+        end_read = jnp.min(cand, axis=1)
+        end_read = jnp.where(end_read == L, rl - 1, end_read)
+        outs.append((gmax[:, 0], end_ref, end_read, mc_out))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
@@ -476,7 +532,7 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
         H = H_ref[...]
         E = E_ref[...]
         h_diag = _shift_right(H, 1, jnp.int32(0)) + sub
-        h_tilde = jnp.maximum(jnp.maximum(h_diag, E), jnp.int32(0))
+        h_tilde = jnp.maximum(h_diag, E)  # E >= 0 covers the 0-clamp
         c = h_tilde + dmg
         cm = _prefix_max(c, L, neg)
         F = _shift_right(cm, 1, neg) + gmd
