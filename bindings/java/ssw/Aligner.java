@@ -19,7 +19,11 @@ import java.nio.charset.StandardCharsets;
  * lazily started per JVM and batches are amortized across calls.
  */
 public class Aligner {
-    public static final int FLAG_INCLUDE_BEST_ALIGNMENT_POSITION_AND_CIGAR = 0x0f;
+    // bit 8 of the reference's flag byte: ALWAYS return begin + cigar
+    // (ref: src/ssw/Aligner.java:39; 0x0f would arm the bit-6 distance
+    // filter, which with the overload's filterdistance=0 suppresses every
+    // cigar)
+    public static final int FLAG_INCLUDE_BEST_ALIGNMENT_POSITION_AND_CIGAR = 0x01;
     public static final int MAX_SCORE_UNSURE = 2;
 
     private static Process worker;

@@ -43,6 +43,13 @@ from ssw_tpu import api
 from ssw_tpu.core.cigar import cigar_int_to_len, cigar_int_to_op
 
 
+def _dumps(obj) -> str:
+    """Compact JSON: the Java client's hand-rolled intField parser scans
+    digits immediately after '\"name\":' (bindings/java/ssw/Aligner.java),
+    so the wire format must not carry a space after the colon."""
+    return json.dumps(obj, separators=(",", ":"))
+
+
 def _align_one(msg):
     n = int(msg["n"])
     mat = np.asarray(msg["matrix"], dtype=np.int8).reshape(n, n)
@@ -113,7 +120,7 @@ def serve(inp=None, out=None) -> int:
         try:
             msg = json.loads(line)
         except ValueError:
-            out.write(json.dumps({"error": "bad json"}) + "\n")
+            out.write(_dumps({"error": "bad json"}) + "\n")
             out.flush()
             continue
         if msg.get("op") == "shutdown":
@@ -123,11 +130,9 @@ def serve(inp=None, out=None) -> int:
                 result = _align_many(msg["batch"])
             else:
                 result = _align_one(msg)
-            out.write(json.dumps({"id": msg.get("id"), "result": result})
-                      + "\n")
+            out.write(_dumps({"id": msg.get("id"), "result": result}) + "\n")
         except Exception as e:  # surface errors to the client, keep serving
-            out.write(json.dumps({"id": msg.get("id"), "error": str(e)})
-                      + "\n")
+            out.write(_dumps({"id": msg.get("id"), "error": str(e)}) + "\n")
         out.flush()
     return 0
 
