@@ -110,14 +110,27 @@ def _restart_margin(L: int, mat: np.ndarray, gapO: int, gapE: int) -> int:
     return _window_len(L, 1 << 30, mat, gapO, gapE) + L + 256
 
 
-def _use_streaming(Rp_est: int, L_est: int) -> bool:
+# Minimum target columns for the Pallas backend to prefer the streaming
+# suboptimal scan even when the (B, R) maxcol buffer would fit: in blockmax
+# mode the kernel runs per-lane trackers (no per-column cross-lane reduce,
+# ~17% of kernel time — BENCH.md), and the price — two bounded per-read
+# window re-runs of ~1-2k columns each — amortizes once the target passes
+# a few tens of thousands of columns.
+STREAM_MIN_COLS = 32768
+
+
+def _use_streaming(Rp_est: int, L_est: int, backend: str = "scan") -> bool:
     """Stream the suboptimal scan (per-block maxima + bounded window
     re-runs) when materializing (B, R) per-column maxima would force the
-    forward pass below its lane sweet spot — chromosome-scale targets.
+    forward pass below its lane sweet spot (chromosome-scale targets), or
+    when the Pallas kernel's faster lanetrack/blockmax mode pays for the
+    window re-runs (see STREAM_MIN_COLS).
     SSW_TPU_STREAM_SUBOPT=0/1 forces either path (testing)."""
     env = os.environ.get("SSW_TPU_STREAM_SUBOPT")
     if env in ("0", "1"):
         return env == "1"
+    if backend == "pallas" and Rp_est >= STREAM_MIN_COLS:
+        return True
     rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
     return rows_cap < _sweet_rows(L_est)
 
@@ -418,7 +431,7 @@ def align_batch(req: BatchRequest, backend: str = "auto") -> list[oracle.AlignRe
     # suboptimal scan instead: per-block maxima + bounded window re-runs
     # lift the cap entirely (VERDICT round-2 item 2).
     Rp_est = common.bucket_size(len(req.ref), 256)
-    streaming = _use_streaming(Rp_est, L_est)
+    streaming = _use_streaming(Rp_est, L_est, backend)
     if streaming:
         b_mem = max(1024, _sweet_rows(L_est))
     else:
@@ -447,17 +460,18 @@ def align_batch_launch(req: BatchRequest, backend: str = "auto") -> _Pending:
     finishing batch k overlaps its host tail with device compute.
 
     Paths whose host/device interleaving cannot be deferred (gapO <= gapE
-    oracle fallback, streaming suboptimal scan, score_size != 2) run
-    synchronously here so warning order on stderr is identical to the
-    serial path."""
+    oracle fallback, score_size != 2) run synchronously here so warning
+    order on stderr is identical to the serial path.  Streaming-suboptimal
+    leaves are async-eligible: their launch queues upload + forward only
+    and the window re-runs happen at mid (the host-tail stage)."""
     backend = pick_backend(backend)
-    plan = _plan_async(req)
+    plan = _plan_async(req, backend)
     if plan is None:
         return _Pending(results=align_batch(req, backend))
     pend = _Pending()
     pend.B = len(req.reads)
-    for idx, leaf_req in plan:
-        st = _leaf_start(leaf_req, backend, False)
+    for idx, leaf_req, streaming in plan:
+        st = _leaf_start(leaf_req, backend, streaming)
         assert not isinstance(st, list)  # planner pre-checked the guards
         pend.parts.append((idx, st))
     return pend
@@ -504,10 +518,10 @@ def align_batch_finish(pend: _Pending, detail=None) -> list:
     return results
 
 
-def _plan_async(req: BatchRequest):
-    """Split req into async-eligible leaves [(global indices, leaf_req)],
-    mirroring align_batch's group/memory splitting exactly; None when any
-    leaf would take a synchronous path."""
+def _plan_async(req: BatchRequest, backend: str):
+    """Split req into async-eligible leaves [(global indices, leaf_req,
+    streaming)], mirroring align_batch's group/memory splitting exactly;
+    None when any leaf would take a synchronous path."""
     B = len(req.reads)
     if B == 0:
         return []
@@ -522,17 +536,20 @@ def _plan_async(req: BatchRequest):
     out = []
     for idx in (groups if len(groups) > 1 else [list(range(B))]):
         _, L_est = _leaf_plan([req.reads[i] for i in idx])
-        if _use_streaming(Rp_est, L_est):
-            return None
         if quirk and (L_est * (max_sub + req.gapE) + req.gapO
                       >= int(scan_sw.SEG_BUMP)):
             return None  # oracle fallback leaf
-        b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
-        rows_cap = max(64, int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
-        b_mem = max(b_mem, min(_sweet_rows(L_est), rows_cap))
+        streaming = _use_streaming(Rp_est, L_est, backend)
+        if streaming:
+            b_mem = max(1024, _sweet_rows(L_est))
+        else:
+            b_mem = max(64, int(MAXCOL_BUDGET // (Rp_est * 2)) // 64 * 64)
+            rows_cap = max(64,
+                           int(MAXCOL_HARD_CAP // (Rp_est * 2)) // 64 * 64)
+            b_mem = max(b_mem, min(_sweet_rows(L_est), rows_cap))
         for lo in range(0, len(idx), b_mem):
             part = idx[lo:lo + b_mem]
-            out.append((part, _subset_req(req, part, mask_all)))
+            out.append((part, _subset_req(req, part, mask_all), streaming))
     return out
 
 
