@@ -8,11 +8,15 @@ that is the vs_baseline denominator.
 Prints ONE JSON line:
   {"metric": "GCUPS", "value": N, "unit": "GCUPS", "vs_baseline": N/1.1}
 
-Timing covers the full forward pass (DP fill + per-column maxima streaming +
-suboptimal scan inputs), synchronized by a device->host transfer, which on
-this harness is the only reliable completion barrier.  I/O and traceback are
-excluded, matching how the survey prescribes honest GCUPS accounting
-(SURVEY.md section 6).
+Timing covers the full forward pass (DP fill + suboptimal-scan inputs),
+synchronized by a device->host transfer, which on this harness is the only
+reliable completion barrier.  I/O and traceback are excluded, matching how
+the survey prescribes honest GCUPS accounting (SURVEY.md section 6).
+
+The kernel runs in whatever mode the production pipeline would pick for
+this exact workload (pipeline._use_streaming): on TPU with a 1 Mbp target
+that is the lanetrack/blockmax kernel (per-block maxima for the streaming
+suboptimal scan) with the bounded-radius scan gate on.
 """
 
 import json
@@ -76,7 +80,11 @@ def main():
     geo_args = (jnp.asarray(read_len), jnp.asarray(geo.col_mask),
                 jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start))
 
+    from ssw_tpu import pipeline
+
     kw = {"max_sub": 2} if use_pallas else {}
+    if pipeline._use_streaming(R, L, "pallas" if use_pallas else "scan"):
+        kw.update(blockmax=True, valid_len=R)
 
     def run(profile):
         return kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,

@@ -53,6 +53,7 @@ UNROLL = 16  # columns per loop iteration: measured +25% on v5e
              # (amortizes loop bookkeeping and lets Mosaic keep
              # H/E/trackers in registers across columns)
 I16_HEADROOM = 2 ** 14  # cell-value bound that makes the int16 tier exact
+GATE_RADIUS = 64  # truncated prefix-max radius for gated column groups
 
 
 def _shift_right(x, s, fill):
@@ -91,10 +92,11 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                                        #   gmax/end_ref (B,1) int32,
                                        #   h_best (B,L) dt, scratch H, E
                     gapO: int, gapE: int, L: int, quirk: bool, dt,
-                    blockmax: bool = False):
+                    blockmax: bool = False, gate_sub: int | None = None):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
     neg_i = NEG16 if dt == jnp.int16 else NEG
+    gate = gate_sub is not None
 
     if blockmax:
         # lanetrack mode: per-lane (value, first-attainment column)
@@ -105,14 +107,17 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # kernel from (bv, bc); the per-block maxima feed the streaming
         # suboptimal scan (its full-resolution columns are rebuilt by
         # bounded window re-runs).
-        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref = refs
+        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref = refs[:6]
     else:
-        maxcol_ref, gmax_ref, end_ref_ref, h_best_ref, H_ref, E_ref = refs
+        maxcol_ref, gmax_ref, end_ref_ref, h_best_ref, H_ref, E_ref = refs[:6]
+    hm_ref = refs[6] if gate else None
 
     @pl.when(block == 0)
     def _init():
         H_ref[...] = jnp.zeros_like(H_ref)
         E_ref[...] = jnp.zeros_like(E_ref)
+        if gate:
+            hm_ref[0, 0] = 0
         if blockmax:
             bv_ref[...] = jnp.zeros_like(bv_ref)
             bc_ref[...] = jnp.full_like(bc_ref, -1)
@@ -134,7 +139,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         seg_reset = seg_reset_ref[...]
         decay_q = -(gmd.astype(jnp.int32) - gapE)
 
-    def body(jj, _):
+    def run_group(jj, bound):
       for u in range(UNROLL):
         j = jj * UNROLL + u
         code = ref_ref[0, 0, j]
@@ -146,7 +151,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # max(h_diag, E) >= 0 already
         h_tilde = jnp.maximum(h_diag, E)
         c = h_tilde + dmg
-        cm = _prefix_max(c, L, neg)
+        cm = _prefix_max(c, L, neg, bound=bound)
         F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
         H = jnp.maximum(h_tilde, F)
         if quirk:
@@ -191,7 +196,38 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             end_ref_ref[...] = jnp.where(upd, idx_ref[0, 0, j],
                                          end_ref_ref[...])
             h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
-      return 0
+      if gate:
+          # raw max over ALL lanes (padded lanes carry real, undecayed
+          # values diagonally — they are legitimate F-carry sources and
+          # must keep the gate shut while they are hot)
+          hm_ref[0, 0] = jnp.max(H_ref[...].astype(jnp.int32))
+
+    if gate:
+        # exact bounded-radius scan: F(k) only sees carries from lanes
+        # k' >= k - GATE_RADIUS + 1 after truncation; a dropped carry is
+        #   h_tilde(k') - gapO - d*gapE  with  d >= GATE_RADIUS,
+        # inert (< 0, and H = max(h_tilde >= 0, F)) whenever
+        #   max h_tilde <= gapO + (GATE_RADIUS - 1)*gapE.
+        # Within a 16-column group, max h_tilde grows by at most max_sub
+        # per column from the gate sample, hence the UNROLL*max_sub slack.
+        thresh = gapO + (GATE_RADIUS - 1) * gapE - UNROLL * gate_sub
+
+        def body(jj, _):
+            safe = hm_ref[0, 0] <= thresh
+
+            @pl.when(safe)
+            def _fast():
+                run_group(jj, GATE_RADIUS)
+
+            @pl.when(jnp.logical_not(safe))
+            def _full():
+                run_group(jj, None)
+
+            return 0
+    else:
+        def body(jj, _):
+            run_group(jj, None)
+            return 0
 
     jax.lax.fori_loop(0, COL_BLOCK // UNROLL, body, 0)
 
@@ -205,17 +241,19 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
                                               "use_i16", "interpret",
-                                              "blockmax"))
+                                              "blockmax", "gate_sub"))
 def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   seg_id, seg_start, gapO: int, gapE: int,
                   quirk: bool = True, use_i16: bool = False,
-                  interpret: bool = False, blockmax: bool = False):
+                  interpret: bool = False, blockmax: bool = False,
+                  gate_sub: int | None = None):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
     neg = NEG16 if use_i16 else NEG
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
-                               quirk=quirk, dt=dt, blockmax=blockmax)
+                               quirk=quirk, dt=dt, blockmax=blockmax,
+                               gate_sub=gate_sub)
     decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
     dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(dt)
     gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(dt)
@@ -241,6 +279,8 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
             vmem(), vmem(),
         )
         scratch = [pltpu.VMEM((B, L), dt)] * 3
+        if gate_sub is not None:
+            scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     else:
         out_shape = (
             jax.ShapeDtypeStruct((B, nblocks * COL_BLOCK), dt),
@@ -256,6 +296,8 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
             vmem(),
         )
         scratch = [pltpu.VMEM((B, L), dt)] * 2
+        if gate_sub is not None:
+            scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
@@ -360,6 +402,23 @@ def _i16_parity_ok() -> bool:
         return False
 
 
+def gate_sub_for(L: int, gapO: int, gapE: int,
+                 max_sub: int | None) -> int | None:
+    """max_sub when the bounded-radius scan gate is provable and
+    profitable, else None (gate off).  The gate needs max|mat| for its
+    growth slack, a scan longer than the truncated radius to have anything
+    to save, and a positive threshold (otherwise no group can ever be
+    safe and the second branch is dead weight)."""
+    import os
+    if max_sub is None or os.environ.get("SSW_TPU_GATESCAN", "1") == "0":
+        return None
+    if L <= GATE_RADIUS:
+        return None
+    if gapO + (GATE_RADIUS - 1) * gapE - UNROLL * max_sub <= 0:
+        return None
+    return int(max_sub)
+
+
 def i16_exact(L: int, gapO: int, gapE: int, max_sub: int | None,
               quirk: bool) -> bool:
     """True when the int16 tier is provably exact: every DP cell is bounded
@@ -407,6 +466,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         own_blocks = jnp.ones(ref_blocks.shape, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
+    gate_sub = gate_sub_for(L, gapO, gapE, max_sub)
 
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
@@ -434,7 +494,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
             jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
             own_blocks, take(col_mask, 0), take(seg_id, 0),
             take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret,
-            blockmax)
+            blockmax, gate_sub)
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
@@ -718,7 +778,8 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
     maxcol, gmax, end_ref, h_best = _forward_call(
         jnp.transpose(profile, (1, 0, 2)), ref_blocks, idx_blocks,
         own_blocks, col_mask.astype(jnp.int32), seg_id.astype(jnp.int32),
-        seg_start.astype(jnp.int32), gapO, gapE, quirk, use_i16, interpret)
+        seg_start.astype(jnp.int32), gapO, gapE, quirk, use_i16, interpret,
+        gate_sub=gate_sub_for(L, gapO, gapE, max_sub))
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
     hit = ((h_best.astype(jnp.int32) == gmax) & (j < read_len[:, None])
            & (gmax > 0))

@@ -31,6 +31,25 @@ def check(tag, reads, ref, mat, gapO, gapE):
     return bad
 
 
+def check_sharded(tag, reads, ref, mat, gapO, gapE):
+    """align_batch_sharded over a mesh of every local device (on the TPU
+    harness: a single-chip mesh) must match the unsharded pipeline —
+    including the Pallas reverse pass now plumbed through its tail."""
+    import jax
+    from ssw_tpu import pipeline
+    from ssw_tpu.parallel.mesh import make_mesh
+
+    req = pipeline.BatchRequest(
+        reads=reads, ref=ref, mat=mat, gapO=gapO, gapE=gapE, flag=0x0F,
+        mask_len=[max(len(r) // 2, 15) for r in reads])
+    mesh = make_mesh(len(jax.devices()), 1)
+    a = pipeline.align_batch_sharded(req, mesh)
+    b = pipeline.align_batch(req)
+    bad = sum(1 for x, y in zip(a, b) if vars(x) != vars(y))
+    print(f"{tag}: {len(a)} pairs, {bad} mismatches", flush=True)
+    return bad
+
+
 def main():
     rng = np.random.default_rng(42)
     total = 0
@@ -52,6 +71,25 @@ def main():
     total += check("dna-default", reads, ref, dna_matrix(2, 2), 3, 1)
     total += check("dna-m1x3o5e2", reads, ref, dna_matrix(1, 3), 5, 2)
 
+    # streaming suboptimal + gatescan path: a target past
+    # pipeline.STREAM_MIN_COLS makes the pallas backend take the
+    # lanetrack/blockmax kernel with bounded window re-runs, while the
+    # scan backend keeps the materialized (B, R) path — so this cross-
+    # checks the whole streaming machinery on hardware
+    big = rng.integers(0, 4, 40000).astype(np.int32)
+    breads = []
+    for _ in range(48):
+        ln = int(rng.integers(30, 300))
+        if rng.random() < 0.7:
+            s = int(rng.integers(0, len(big) - ln))
+            r = big[s:s + ln].copy()
+            idx = rng.integers(0, ln, max(1, ln // 12))
+            r[idx] = rng.integers(0, 4, len(idx))
+            breads.append(r)
+        else:
+            breads.append(rng.integers(0, 4, ln).astype(np.int32))
+    total += check("dna-streaming-40k", breads, big, dna_matrix(2, 2), 3, 1)
+
     # protein / quirk path (BLOSUM50, min(mat) = -5 < -2*gapE)
     pref = rng.integers(0, 20, 2000).astype(np.int32)
     preads = []
@@ -66,6 +104,10 @@ def main():
         else:
             preads.append(rng.integers(0, 20, ln).astype(np.int32))
     total += check("protein-quirk", preads, pref, BLOSUM50, 3, 1)
+
+    # sharded pipeline on a real-device mesh (single-chip on this harness)
+    total += check_sharded("sharded-mesh", reads[:32], ref,
+                           dna_matrix(2, 2), 3, 1)
 
     print("TOTAL MISMATCHES:", total)
     assert total == 0
