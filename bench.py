@@ -83,27 +83,70 @@ def main():
     from ssw_tpu import pipeline
 
     kw = {"max_sub": 2} if use_pallas else {}
-    if pipeline._use_streaming(R, L, "pallas" if use_pallas else "scan"):
+    streaming = pipeline._use_streaming(R, L,
+                                        "pallas" if use_pallas else "scan")
+    if streaming:
         kw.update(blockmax=True, valid_len=R)
 
-    def run(profile):
-        return kernel.forward_shared_ref(profile, ref_d, *geo_args, 3, 1,
-                                         False, **kw)
+    # lane packing: exactly the production decision for this workload
+    # (pipeline._plan_pack) — 200bp reads pack ~19 to a 4096-lane row at
+    # ~93% utilization instead of 200/256
+    all_len = np.full(READS, READ_LEN, np.int32)
+    plan = None
+    if (use_pallas and streaming
+            and os.environ.get("SSW_TPU_PACK", "1") != "0"):
+        plan = pipeline._plan_pack(all_len, np.zeros(READS, bool), READS, L)
+
+    def make_packed(seed):
+        from ssw_tpu.ops import common as _c
+        r = np.random.default_rng(seed)
+        reads = []
+        for _ in range(READS):
+            off = int(r.integers(0, R - READ_LEN))
+            rd = ref[off:off + READ_LEN].copy()
+            m = r.random(READ_LEN) < 0.05
+            rd[m] = r.integers(0, 4, int(m.sum()))
+            reads.append(rd)
+        rp = _c.pad_reads(reads, L, 5)
+        pc = _c.pack_codes(plan, rp, 5)
+        return pipeline._prep_packed(jnp.asarray(pc.astype(np.int8)),
+                                     jnp.asarray(mat_ext))
 
     from ssw_tpu import profiling
 
-    profiles = [make_batch(s) for s in range(1 + (READS // B))]
-    int(np.asarray(run(profiles[0])[0])[0])  # compile + warm + sync
-    n_batches = READS // B
-    # queue all batches, then force one device->host transfer: the device
-    # executes queued programs in order, and on this harness a transfer is
-    # the only reliable completion barrier (block_until_ready is a no-op
-    # over the tunnel) -- one barrier instead of per-call round-trips
     counter = profiling.GcupsCounter()
     counter.add_pairs([READ_LEN] * READS, R)
-    with counter.phase("device"):
-        outs = [run(profiles[1 + i]) for i in range(n_batches)]
-        int(np.asarray(outs[-1][0])[0])
+    if plan is not None:
+        from ssw_tpu.ops import common as _c
+        so, sl, rl_s = _c.pack_tables(plan, all_len)
+        fi = plan.row * plan.S + plan.slot
+
+        def run_packed(pprof):
+            return kernel.forward_shared_ref_packed(
+                pprof, ref_d, so, sl, rl_s, fi, 3, 1, max_sub=2,
+                valid_len=R)
+
+        pprofs = [make_packed(s) for s in range(2)]
+        int(np.asarray(run_packed(pprofs[0])[0])[0])  # compile + warm
+        with counter.phase("device"):
+            out = run_packed(pprofs[1])
+            int(np.asarray(out[0])[0])
+    else:
+        def run(profile):
+            return kernel.forward_shared_ref(profile, ref_d, *geo_args, 3,
+                                             1, False, **kw)
+
+        profiles = [make_batch(s) for s in range(1 + (READS // B))]
+        int(np.asarray(run(profiles[0])[0])[0])  # compile + warm + sync
+        n_batches = READS // B
+        # queue all batches, then force one device->host transfer: the
+        # device executes queued programs in order, and on this harness a
+        # transfer is the only reliable completion barrier
+        # (block_until_ready is a no-op over the tunnel) -- one barrier
+        # instead of per-call round-trips
+        with counter.phase("device"):
+            outs = [run(profiles[1 + i]) for i in range(n_batches)]
+            int(np.asarray(outs[-1][0])[0])
 
     gcups = counter.gcups("device")
     print(json.dumps({

@@ -95,3 +95,94 @@ def pad_reads(reads: list[np.ndarray], L: int, pad_code: int) -> np.ndarray:
     for b, r in enumerate(reads):
         out[b, : len(r)] = r
     return out
+
+
+# --- lane packing (round 3) -------------------------------------------------
+#
+# 200bp reads in an L=256 bucket waste 22% of the kernel's delivered rate on
+# pad lanes (BENCH.md).  Packing several reads into one kernel row as
+# contiguous *slots* recovers that: each slot spans the read's tier-padded DP
+# rows (pad_total), slot boundaries cut the h_diag/F dependency chains (the
+# kernel's segmented scan + per-lane resets), and per-slot block maxima feed
+# the streaming suboptimal scan.  Outputs are bit-identical per read to the
+# unpacked kernel: within a slot the DP sees exactly the lanes an unpacked
+# row would (ref semantics: src/ssw.c:169 pads reads to whole SIMD lanes and
+# lets pad rows ride diagonals into maxColumn).
+
+
+@dataclass
+class PackPlan:
+    """Assignment of reads to (row, slot) positions in a packed batch."""
+    L: int                 # lanes per packed row (static)
+    n_rows: int            # packed rows (padded to a multiple of 8)
+    S: int                 # max slots per row (static)
+    row: np.ndarray        # (B,) packed row of each read
+    slot: np.ndarray       # (B,) slot index within the row
+    off: np.ndarray        # (B,) first lane of the read's slot
+    slot_len: np.ndarray   # (B,) tier-padded slot length (pad_total)
+
+    @property
+    def util(self) -> float:
+        return float(self.slot_len.sum()) / max(self.n_rows * self.L, 1)
+
+
+def pack_plan(slot_len: np.ndarray, L: int,
+              max_slots: int = 64) -> PackPlan:
+    """First-fit-decreasing pack of per-read padded DP row counts into rows
+    of L lanes (deterministic: ties keep read order).  max_slots bounds the
+    per-slot reduce cost inside the kernel."""
+    slot_len = np.asarray(slot_len, dtype=np.int32)
+    if slot_len.size and int(slot_len.max()) > L:
+        raise ValueError(f"slot longer than the packed row: "
+                         f"{int(slot_len.max())} > {L}")
+    B = len(slot_len)
+    order = np.argsort(-slot_len, kind="stable")
+    row = np.zeros(B, np.int32)
+    off = np.zeros(B, np.int32)
+    slot = np.zeros(B, np.int32)
+    row_fill: list[int] = []
+    row_slots: list[int] = []
+    for r in order:
+        ln = int(slot_len[r])
+        for i in range(len(row_fill)):
+            if row_fill[i] + ln <= L and row_slots[i] < max_slots:
+                break
+        else:
+            i = len(row_fill)
+            row_fill.append(0)
+            row_slots.append(0)
+        row[r] = i
+        off[r] = row_fill[i]
+        slot[r] = row_slots[i]
+        row_fill[i] += ln
+        row_slots[i] += 1
+    n_rows = round_up(max(len(row_fill), 1), 8)
+    S = max(row_slots) if row_slots else 1
+    return PackPlan(L, n_rows, S, row, slot, off, slot_len)
+
+
+def pack_codes(plan: PackPlan, reads_padded: np.ndarray,
+               pad_code: int) -> np.ndarray:
+    """Packed read-code rows (n_rows, L): each slot carries the read's codes
+    plus its tier-rounding pad codes; row tails are pad."""
+    out = np.full((plan.n_rows, plan.L), pad_code,
+                  dtype=reads_padded.dtype)
+    for r in range(len(plan.row)):
+        ln = int(plan.slot_len[r])
+        out[plan.row[r], plan.off[r]:plan.off[r] + ln] = \
+            reads_padded[r, :ln]
+    return out
+
+
+def pack_tables(plan: PackPlan, read_len: np.ndarray):
+    """Compact per-(row, slot) tables the device geometry builder consumes:
+    slot offset, padded slot length, and true read length; empty slots get
+    off = L (past every lane) and zero lengths."""
+    so = np.full((plan.n_rows, plan.S), plan.L, np.int32)
+    sl = np.zeros((plan.n_rows, plan.S), np.int32)
+    rl = np.zeros((plan.n_rows, plan.S), np.int32)
+    for r in range(len(plan.row)):
+        so[plan.row[r], plan.slot[r]] = plan.off[r]
+        sl[plan.row[r], plan.slot[r]] = plan.slot_len[r]
+        rl[plan.row[r], plan.slot[r]] = read_len[r]
+    return so, sl, rl

@@ -42,12 +42,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2 ** 28)
 NEG16 = -(2 ** 14)
 SEG_BUMP = 2 ** 21
+PACK_BUMP = 2 ** 17  # slot separation for packed rows: DP intermediates
+                     # span < 2**16, so 2**17 keeps up to 2**14 slots
+                     # strictly ordered inside int32
 COL_BLOCK = 256
 UNROLL = 16  # columns per loop iteration: measured +25% on v5e
              # (amortizes loop bookkeeping and lets Mosaic keep
@@ -85,14 +89,17 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                     seg_bias_ref,      # VMEM (B, L) int32 seg_id * SEG_BUMP
                     seg_reset_ref,     # VMEM (B, L) int32 0/1
                     *refs,             # outputs + scratch, mode-dependent:
-                                       # blockmax: maxcol (B,1) int32 acc,
+                                       # blockmax: maxcol (B,S) int32 acc,
                                        #   bv (B,L) dt, bc (B,L) int32,
-                                       #   scratch H, E, rv (B,L) dt
+                                       #   scratch H, E, rv (B,L) dt,
+                                       #   rc (B,L) int32
                                        # else: maxcol (B,COL_BLOCK) dt,
                                        #   gmax/end_ref (B,1) int32,
                                        #   h_best (B,L) dt, scratch H, E
                     gapO: int, gapE: int, L: int, quirk: bool, dt,
-                    blockmax: bool = False, gate_sub: int | None = None):
+                    blockmax: bool = False, gate_sub: int | None = None,
+                    packed: bool = False, pack_bound: int | None = None,
+                    S: int = 1):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
     neg_i = NEG16 if dt == jnp.int16 else NEG
@@ -106,11 +113,17 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # global best and end positions are reconstructed outside the
         # kernel from (bv, bc); the per-block maxima feed the streaming
         # suboptimal scan (its full-resolution columns are rebuilt by
-        # bounded window re-runs).
-        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref = refs[:6]
+        # bounded window re-runs).  The per-column updates touch only the
+        # block-local pair (rv, rc); the global (bv, bc) merge is one
+        # where-pair per 256-column grid step (5 vector ops/column
+        # instead of 6 — the merge order preserves first-attainment
+        # exactly: within a block rc ends at the last strict improvement
+        # = first attainment of the block max, and a later block merges
+        # only on strict improvement over all earlier blocks).
+        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref, rc_ref = refs[:7]
     else:
         maxcol_ref, gmax_ref, end_ref_ref, h_best_ref, H_ref, E_ref = refs[:6]
-    hm_ref = refs[6] if gate else None
+    hm_ref = refs[7 if blockmax else 6] if gate else None
 
     @pl.when(block == 0)
     def _init():
@@ -134,24 +147,41 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     gmd = gmd_ref[...]
     maskneg = maskneg_ref[...]
     zero = dt(0)
-    if quirk:
+    if quirk or packed:
         seg_bias = seg_bias_ref[...]
         seg_reset = seg_reset_ref[...]
+    if quirk:
         decay_q = -(gmd.astype(jnp.int32) - gapE)
 
     def run_group(jj, bound):
+      if packed:
+          # slot boundaries bound intra-slot F propagation; compose with
+          # the gate's truncation when active
+          bound = pack_bound if bound is None else min(bound, pack_bound)
       for u in range(UNROLL):
         j = jj * UNROLL + u
         code = ref_ref[0, 0, j]
         sub = profile_ref[code]
         H = H_ref[...]
         E = E_ref[...]
-        h_diag = _shift_right(H, 1, zero) + sub
+        h_shift = _shift_right(H, 1, zero)
+        if packed:
+            # slot-start lanes are read position 0: no diagonal from the
+            # previous slot's read (the F cut is free — gmd is poisoned to
+            # NEG at slot starts by the caller)
+            h_shift = jnp.where(seg_reset > 0, zero, h_shift)
+        h_diag = h_shift + sub
         # no 0-clamp on h_tilde: E >= 0 always (its own update clamps), so
         # max(h_diag, E) >= 0 already
         h_tilde = jnp.maximum(h_diag, E)
         c = h_tilde + dmg
-        cm = _prefix_max(c, L, neg, bound=bound)
+        if packed:
+            # slot-segmented scan: the per-slot bias pushes other slots
+            # out of range, so cross-slot carries land ~PACK_BUMP below
+            # any real value and are inert in the F max
+            cm = _prefix_max(c + seg_bias, L, neg, bound=bound) - seg_bias
+        else:
+            cm = _prefix_max(c, L, neg, bound=bound)
         F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
         H = jnp.maximum(h_tilde, F)
         if quirk:
@@ -175,11 +205,10 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             off = ((jnp.int32(1) - own_ref[0, 0, j])
                    * jnp.int32(neg_i)).astype(dt)
             Hm = H + (maskneg + off)
-            bv = bv_ref[...]
-            m = Hm > bv
-            bv_ref[...] = jnp.where(m, Hm, bv)
-            bc_ref[...] = jnp.where(m, idx_ref[0, 0, j], bc_ref[...])
-            rv_ref[...] = jnp.maximum(rv_ref[...], Hm)
+            rv = rv_ref[...]
+            m = Hm > rv
+            rv_ref[...] = jnp.where(m, Hm, rv)
+            rc_ref[...] = jnp.where(m, idx_ref[0, 0, j], rc_ref[...])
         else:
             colmax = jnp.max((H + maskneg).astype(jnp.int32), axis=1,
                              keepdims=True)  # (B, 1) int32
@@ -232,53 +261,89 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     jax.lax.fori_loop(0, COL_BLOCK // UNROLL, body, 0)
 
     if blockmax:
+        # merge the block-local (rv, rc) pair into the global (bv, bc)
+        # trackers (strict improvement keeps first-attainment order), and
         # one cross-lane reduce per 256 columns (floored at 0, matching
         # second_best_batch's disallowed->0)
-        maxcol_ref[...] = jnp.maximum(
-            jnp.max(rv_ref[...].astype(jnp.int32), axis=1, keepdims=True),
-            0)
+        rv = rv_ref[...]
+        imp = rv > bv_ref[...]
+        bv_ref[...] = jnp.where(imp, rv, bv_ref[...])
+        bc_ref[...] = jnp.where(imp, rc_ref[...], bc_ref[...])
+        if packed:
+            # per-slot block maxima: S masked reduces per 256 columns
+            # (~5*S/256 vector ops per column; the pack planner caps S).
+            # Slots are identified by their bias value — no extra input.
+            rv32 = rv.astype(jnp.int32)
+            lane_s = jax.lax.broadcasted_iota(
+                jnp.int32, (rv.shape[0], S), 1)
+            for s in range(S):
+                mS = jnp.max(jnp.where(seg_bias == s * PACK_BUMP, rv32,
+                                       jnp.int32(NEG)),
+                             axis=1, keepdims=True)
+                maxcol_ref[...] = jnp.where(lane_s == s,
+                                            jnp.maximum(mS, 0),
+                                            maxcol_ref[...])
+        else:
+            maxcol_ref[...] = jnp.maximum(
+                jnp.max(rv.astype(jnp.int32), axis=1, keepdims=True),
+                0)
 
 
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
                                               "use_i16", "interpret",
-                                              "blockmax", "gate_sub"))
+                                              "blockmax", "gate_sub",
+                                              "packed", "pack_bound", "S"))
 def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   seg_id, seg_start, gapO: int, gapE: int,
                   quirk: bool = True, use_i16: bool = False,
                   interpret: bool = False, blockmax: bool = False,
-                  gate_sub: int | None = None):
+                  gate_sub: int | None = None, packed: bool = False,
+                  pack_bound: int | None = None, S: int = 1,
+                  lane_off=None):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
     neg = NEG16 if use_i16 else NEG
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
                                quirk=quirk, dt=dt, blockmax=blockmax,
-                               gate_sub=gate_sub)
-    decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
-    dmg = jnp.broadcast_to(decay - gapO, (B, L)).astype(dt)
-    gmd = jnp.broadcast_to(gapE - decay, (B, L)).astype(dt)
+                               gate_sub=gate_sub, packed=packed,
+                               pack_bound=pack_bound, S=S)
+    if lane_off is None:
+        decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
+        decay = jnp.broadcast_to(decay, (B, L))
+    else:
+        # packed rows: the gap decay restarts at every slot
+        decay = lane_off.astype(jnp.int32) * gapE
+    dmg = (decay - gapO).astype(dt)
+    gmd = (gapE - decay).astype(dt)
     maskneg = jnp.where(col_mask > 0, 0, neg).astype(dt)
-    seg_bias = seg_id.astype(jnp.int32) * SEG_BUMP  # upcast BEFORE the bias
+    bump = PACK_BUMP if packed else SEG_BUMP
+    seg_bias = seg_id.astype(jnp.int32) * bump  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     seg_reset = (seg_start.astype(bool)
                  | (seg_prev != seg_id)).astype(jnp.int32)
+    if packed:
+        # free F cut at slot starts: F = shift(cm) + gmd can never beat
+        # h_tilde >= 0 when gmd is deeply negative there
+        gmd = jnp.where(seg_reset > 0, dt(neg), gmd)
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     if blockmax:
-        # lanetrack outputs: (B, nblocks) block maxima + per-lane (value,
-        # first-attainment column) trackers; gmax/end_ref/end_read are
-        # reconstructed by the caller
+        # lanetrack outputs: (B, nblocks*S) per-slot block maxima +
+        # per-lane (value, first-attainment column) trackers;
+        # gmax/end_ref/end_read are reconstructed by the caller
         out_shape = (
-            jax.ShapeDtypeStruct((B, nblocks), jnp.int32),
+            jax.ShapeDtypeStruct((B, nblocks * S), jnp.int32),
             jax.ShapeDtypeStruct((B, L), dt),
             jax.ShapeDtypeStruct((B, L), jnp.int32),
         )
         out_specs = (
-            pl.BlockSpec((B, 1), lambda i: (0, i),
+            pl.BlockSpec((B, S), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             vmem(), vmem(),
         )
-        scratch = [pltpu.VMEM((B, L), dt)] * 3
+        scratch = [pltpu.VMEM((B, L), dt)] * 3 + [pltpu.VMEM((B, L),
+                                                            jnp.int32)]
         if gate_sub is not None:
             scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     else:
@@ -788,3 +853,113 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
     end_read = jnp.where(end_read == L, read_len - 1, end_read)
     return (gmax[:, 0], end_ref[:, 0], end_read,
             jnp.clip(maxcol[:, :R], 0, 32767).astype(jnp.uint16))
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _pack_geometry(so, sl, L: int):
+    """Per-lane packed geometry from the compact (n_rows, S) slot tables
+    (common.pack_tables): col_mask (lane inside a slot's tier-padded span),
+    slot_id (ascending; row tails inherit the last slot, harmless — they
+    are masked), slot_start, and lane_off (offset within the slot, which
+    keeps growing past the last slot like unpacked pad lanes do)."""
+    j = jnp.arange(L, dtype=jnp.int32)[None, None, :]       # (1, 1, L)
+    o = so[:, :, None]                                       # (Br, S, 1)
+    e = o + sl[:, :, None]
+    inside = (j >= o) & (j < e)
+    col_mask = inside.any(axis=1)
+    started = (j >= o).astype(jnp.int32)
+    slot_id = jnp.maximum(started.sum(axis=1) - 1, 0)        # (Br, L)
+    slot_start = (j == o).any(axis=1)
+    off_here = jnp.max(jnp.where(j >= o, o, 0), axis=1)
+    lane_off = jnp.arange(L, dtype=jnp.int32)[None, :] - off_here
+    return col_mask, slot_id, slot_start, lane_off
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _pack_reconstruct(bv, bc, maxcol, slot_id, lane_off, rl_s, S: int):
+    """Per-slot outputs from the packed kernel's per-lane trackers: the
+    slot-restricted mirror of forward_shared_ref's blockmax
+    reconstruction (global max = earliest first-attainment among lanes
+    holding it; end_read = lowest such lane offset).  Returns (Br, S)
+    tables + (Br, S, nblk) block maxima; the caller gathers per read."""
+    Br, L = bv.shape
+    bv32 = bv.astype(jnp.int32)
+    m3 = slot_id[:, None, :] == jnp.arange(S, dtype=jnp.int32)[None, :,
+                                                               None]
+    neg3 = jnp.int32(-(2 ** 30))
+    gmax = jnp.max(jnp.where(m3, bv32[:, None, :], neg3), axis=2)
+    gmax = jnp.maximum(gmax, 0)                              # (Br, S)
+    pos = gmax > 0
+    is_g = m3 & (bv32[:, None, :] == gmax[:, :, None]) & pos[:, :, None]
+    big = jnp.int32(2 ** 30)
+    end_ref = jnp.min(jnp.where(is_g, bc[:, None, :], big), axis=2)
+    end_ref = jnp.where(pos, end_ref, -1)
+    lo = lane_off[:, None, :]
+    hit = (is_g & (bc[:, None, :] == end_ref[:, :, None])
+           & (lo < rl_s[:, :, None]))
+    cand = jnp.where(hit, lo, L)
+    end_read = jnp.min(cand, axis=2)
+    end_read = jnp.where(end_read == L, rl_s - 1, end_read)
+    nblk = maxcol.shape[1] // S
+    mc = maxcol.reshape(Br, nblk, S).transpose(0, 2, 1)     # (Br, S, nblk)
+    return gmax, end_ref, end_read, mc
+
+
+def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
+                              gapO: int, gapE: int,
+                              max_sub: int | None = None,
+                              valid_len: int | None = None):
+    """Lane-packed forward pass: several reads per kernel row, each in its
+    own contiguous slot of tier-padded DP rows (common.pack_plan).  Only
+    the streaming/blockmax, quirk-off regime — per-read outputs (score,
+    end_ref, end_read, blockmax (B, nblocks)) are bit-identical to
+    forward_shared_ref on the unpacked layout; the DP inside a slot sees
+    exactly the lanes an unpacked row would (slot starts cut h_diag/F, the
+    per-slot bias cuts the prefix-max — cross-slot carries are inert).
+
+    profile: (n_rows, n1, L) over the PACKED codes (common.pack_codes);
+    so/sl/rl_s: (n_rows, S) slot tables; flat_idx: (B,) row*S + slot.
+    Always the int32 tier: the slot bias needs value headroom.
+    Ref for what one slot computes: the byte/word kernels,
+    src/ssw.c:197-386."""
+    Br, n1, L = profile.shape
+    S = so.shape[1]
+    R = ref.shape[0]
+    Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
+    ref_padded = jnp.full((Rp,), n1 - 1, dtype=jnp.int32).at[:R].set(ref)
+    ref_blocks = ref_padded.reshape(Rp // COL_BLOCK, 1, COL_BLOCK)
+    idx_blocks = jnp.arange(Rp, dtype=jnp.int32).reshape(ref_blocks.shape)
+    vl = R if valid_len is None else valid_len
+    own_blocks = (idx_blocks < jnp.int32(vl)).astype(jnp.int32)
+    interpret = jax.devices()[0].platform == "cpu"
+    # pack_bound is static and shared across row chunks (bucketed to a
+    # power of two so the compiled-shape set stays small)
+    pack_bound = max(int(np.max(np.asarray(sl))), 1)
+    pack_bound = 1 << (pack_bound - 1).bit_length()
+    gate_sub = gate_sub_for(L, gapO, gapE, max_sub)
+    so_d, sl_d, rl_d = jnp.asarray(so), jnp.asarray(sl), jnp.asarray(rl_s)
+    b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
+    outs = []
+    for lo in range(0, Br, b_opt):
+        hi = min(lo + b_opt, Br)
+        col_mask, slot_id, slot_start, lane_off = _pack_geometry(
+            so_d[lo:hi], sl_d[lo:hi], L)
+        maxcol, bv, bc = _forward_call(
+            jnp.transpose(profile[lo:hi], (1, 0, 2)), ref_blocks,
+            idx_blocks, own_blocks, col_mask.astype(jnp.int32), slot_id,
+            slot_start.astype(jnp.int32), gapO, gapE, quirk=False,
+            use_i16=False, interpret=interpret, blockmax=True,
+            gate_sub=gate_sub, packed=True, pack_bound=pack_bound, S=S,
+            lane_off=lane_off)
+        outs.append(_pack_reconstruct(bv, bc, maxcol, slot_id, lane_off,
+                                      rl_d[lo:hi], S))
+    if len(outs) == 1:
+        gmax, end_ref, end_read, mc = outs[0]
+    else:
+        gmax, end_ref, end_read, mc = (
+            jnp.concatenate([o[k] for o in outs], axis=0)
+            for k in range(4))
+    fi = jnp.asarray(flat_idx)
+    nblk = mc.shape[2]
+    return (gmax.reshape(-1)[fi], end_ref.reshape(-1)[fi],
+            end_read.reshape(-1)[fi], mc.reshape(Br * S, nblk)[fi])

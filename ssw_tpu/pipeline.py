@@ -249,6 +249,38 @@ def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
                       seg_word_rows, L)
 
 
+# Lane packing (round 3): pack several reads into one kernel row as
+# contiguous tier-padded slots (common.pack_plan) — 200bp reads in an
+# L=256 bucket waste 22% of the kernel rate on pad lanes (BENCH.md).
+# Streaming/blockmax + quirk-off regime only (the slot bias needs the
+# quirk's headroom, and the non-blockmax (B, R) maxcol has no per-slot
+# extraction).  SSW_TPU_PACK=0 disables.
+PACK_L = 4096
+
+
+def _plan_pack(read_len, col_word, Bp: int, L: int):
+    """A pack plan when the packed layout's lane utilization beats the
+    unpacked one by more than the packed kernel's op overhead (+3 of ~33
+    vector ops per column, plus S/256-amortized slot reduces)."""
+    slot_len = np.where(col_word, (read_len + 7) // 8 * 8,
+                        (read_len + 15) // 16 * 16).astype(np.int32)
+    if slot_len.size == 0 or int(slot_len.max()) > PACK_L // 2:
+        return None
+    plan = common.pack_plan(slot_len, PACK_L)
+    unpacked_util = float(slot_len.sum()) / max(Bp * L, 1)
+    overhead = (36.0 + plan.S * 5.0 / 256.0) / 33.0 + 0.02
+    if plan.util < unpacked_util * overhead:
+        return None
+    return plan
+
+
+@jax.jit
+def _prep_packed(codes, mat_ext):
+    """Packed profile ON DEVICE from int8 packed read codes (the host link
+    is the scarce resource; see _prep_device)."""
+    return jnp.transpose(mat_ext[:, codes], (1, 0, 2))
+
+
 def needs_quirk(mat: np.ndarray, gapE: int) -> bool:
     """The lane-block E quirk is observable only when an adjacent
     insertion+deletion can beat the substitution it replaces, i.e. when
@@ -645,15 +677,31 @@ def _leaf_start(req: BatchRequest, backend: str, streaming: bool):
         might = read_len.astype(np.int64) * max_sub + st.bias >= 255
     col_word = np.full(Bp, word_tier) | might
     st.might = might
-    profile, cm_d, seg_d, ss_d = _prep_device(
-        reads_padded.astype(np.int8), read_len, mat_ext, col_word, L,
-        word_tier)
-    geo = common.BatchGeometry(L, read_len, cm_d, seg_d, ss_d)
     if _counter is not None:
         _counter.add_pairs(read_len[:B], ref_len)
-    score_d, er_d, ed_d, mc_d = _forward(
-        jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE, quirk,
-        backend, max_sub, blockmax=streaming, valid_len=ref_len)
+    plan = None
+    if (streaming and not quirk and backend == "pallas"
+            and os.environ.get("SSW_TPU_PACK", "1") != "0"):
+        plan = _plan_pack(read_len, col_word, Bp, L)
+    if plan is not None:
+        from ssw_tpu.ops import pallas_sw
+        pc = common.pack_codes(plan, reads_padded, n)
+        so, sl, rl_s = common.pack_tables(plan, read_len)
+        pprof = _prep_packed(jnp.asarray(pc.astype(np.int8)),
+                             jnp.asarray(mat_ext))
+        score_d, er_d, ed_d, mc_d = pallas_sw.forward_shared_ref_packed(
+            pprof, ref_codes, so, sl, rl_s,
+            plan.row * plan.S + plan.slot, req.gapO, req.gapE,
+            max_sub=max_sub, valid_len=ref_len)
+    else:
+        profile, cm_d, seg_d, ss_d = _prep_device(
+            reads_padded.astype(np.int8), read_len, mat_ext, col_word, L,
+            word_tier)
+        geo = common.BatchGeometry(L, read_len, cm_d, seg_d, ss_d)
+        score_d, er_d, ed_d, mc_d = _forward(
+            jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE,
+            quirk, backend, max_sub, blockmax=streaming,
+            valid_len=ref_len)
     st.fwd_d = jnp.stack([score_d, er_d, ed_d])
     if streaming:
         st.mc_d = mc_d  # (Bp, nblk) blockmax, consumed at mid

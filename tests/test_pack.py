@@ -1,0 +1,190 @@
+"""Lane-packing parity: several reads per kernel row (contiguous slots)
+must be bit-identical, per read, to the unpacked scan baseline — scores,
+ends, and per-block maxima (the streaming suboptimal scan's input).
+
+The packed kernel cuts h_diag/F at slot starts and segments the lane
+prefix-max by a per-slot bias; within a slot the DP sees exactly the lanes
+an unpacked row would (ref: src/ssw.c:169 pads reads to whole SIMD lanes;
+pad rows ride diagonals into maxColumn).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ssw_tpu.ops import common, pallas_sw, scan_sw
+
+
+def _dna_mat():
+    mat = np.zeros((5, 5), np.int8)
+    for i in range(4):
+        for j in range(4):
+            mat[i, j] = 2 if i == j else -2
+    return mat
+
+
+def _mk_reads(seed, R, B):
+    rng = np.random.default_rng(seed)
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    read_len = rng.integers(20, 220, B).astype(np.int32)
+    reads = []
+    for i, l in enumerate(read_len):
+        if i % 3 == 0:  # hot: embedded high-identity read (trips the gate)
+            off = int(rng.integers(0, R - l))
+            reads.append(ref[off:off + l].copy())
+        else:
+            reads.append(rng.integers(0, 4, l).astype(np.int32))
+    return ref, reads, read_len
+
+
+def _scan_baseline(ref, reads, read_len, word_rows, gapO, gapE):
+    """Unpacked scan-twin outputs with per-read tier col_masks (the
+    speculative mixed-tier regime the pipeline feeds the kernel)."""
+    R = len(ref)
+    L = common.bucket_size(
+        common.pad_total(int(read_len.max()), word=False), 64)
+    rp = common.pad_reads(reads, L, 5)
+    prof = common.build_profile(rp, read_len, common.extend_matrix(
+        _dna_mat()))
+    gb = common.batch_geometry(read_len, L, word=False)
+    gw = common.batch_geometry(read_len, L, word=True)
+    col_mask = np.where(word_rows[:, None], gw.col_mask, gb.col_mask)
+    out = scan_sw.forward_shared_ref(
+        jnp.asarray(prof), jnp.asarray(ref), jnp.asarray(read_len),
+        jnp.asarray(col_mask), jnp.asarray(gb.seg_id),
+        jnp.asarray(gb.seg_start), gapO, gapE, False)
+    return out[:3] + (scan_sw.blockmax_reduce(out[3], R),), rp, L
+
+
+def _packed(ref, rp, read_len, word_rows, gapO, gapE, L_pack, max_slots=64):
+    slot_len = np.where(word_rows, (read_len + 7) // 8 * 8,
+                        (read_len + 15) // 16 * 16).astype(np.int32)
+    plan = common.pack_plan(slot_len, L_pack, max_slots=max_slots)
+    pc = common.pack_codes(plan, rp, 5)
+    so, sl, rl_s = common.pack_tables(plan, read_len)
+    pprof = common.build_profile(pc, None, common.extend_matrix(_dna_mat()))
+    flat_idx = plan.row * plan.S + plan.slot
+    got = pallas_sw.forward_shared_ref_packed(
+        jnp.asarray(pprof), jnp.asarray(ref), so, sl, rl_s, flat_idx,
+        gapO, gapE, max_sub=2, valid_len=len(ref))
+    return got, plan
+
+
+@pytest.mark.parametrize("word", [False, True])
+def test_pack_parity(word):
+    R = 1024
+    ref, reads, read_len = _mk_reads(7, R, 10)
+    word_rows = np.full(10, word)
+    want, rp, _ = _scan_baseline(ref, reads, read_len, word_rows, 3, 1)
+    got, plan = _packed(ref, rp, read_len, word_rows, 3, 1, 512)
+    assert plan.S > 1  # multiple reads really share rows
+    for w, g, n in zip(want, got, ("score", "end_ref", "end_read",
+                                   "blockmax")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=n)
+
+
+def test_pack_parity_mixed_tiers_and_chunks(monkeypatch):
+    """Mixed byte/word rows in one packed batch (the speculative-mask
+    regime) across multiple row chunks."""
+    monkeypatch.setattr(pallas_sw, "OPT_LANES", 1024)  # force 2+ chunks
+    R = 768
+    ref, reads, read_len = _mk_reads(13, R, 20)
+    read_len = np.minimum(read_len, 120)
+    reads = [r[:120] for r in reads]
+    word_rows = (np.arange(20) % 2) == 0
+    want, rp, _ = _scan_baseline(ref, reads, read_len, word_rows, 5, 2)
+    got, plan = _packed(ref, rp, read_len, word_rows, 5, 2, 128,
+                        max_slots=2)
+    assert plan.n_rows > 8  # more rows than one sweet-spot chunk
+    for w, g, n in zip(want, got, ("score", "end_ref", "end_read",
+                                   "blockmax")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=n)
+
+
+def test_pack_parity_gate_off(monkeypatch):
+    monkeypatch.setenv("SSW_TPU_GATESCAN", "0")
+    R = 512
+    ref, reads, read_len = _mk_reads(23, R, 8)
+    word_rows = np.zeros(8, bool)
+    want, rp, _ = _scan_baseline(ref, reads, read_len, word_rows, 3, 1)
+    got, _ = _packed(ref, rp, read_len, word_rows, 3, 1, 512)
+    for w, g, n in zip(want, got, ("score", "end_ref", "end_read",
+                                   "blockmax")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=n)
+
+
+def test_pack_plan_properties():
+    rng = np.random.default_rng(3)
+    slot_len = rng.integers(16, 240, 100).astype(np.int32)
+    slot_len = (slot_len + 15) // 16 * 16
+    plan = common.pack_plan(slot_len, 512, max_slots=8)
+    assert plan.n_rows % 8 == 0
+    assert plan.S <= 8
+    # no slot overlaps or row overflow
+    rows = {}
+    for r in range(100):
+        rows.setdefault(int(plan.row[r]), []).append(
+            (int(plan.off[r]), int(plan.off[r] + plan.slot_len[r])))
+    for spans in rows.values():
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0
+        assert spans[-1][1] <= 512
+    # deterministic
+    plan2 = common.pack_plan(slot_len, 512, max_slots=8)
+    assert np.array_equal(plan.row, plan2.row)
+    assert np.array_equal(plan.off, plan2.off)
+    # codes + tables agree with the plan
+    rp = common.pad_reads(
+        [rng.integers(0, 4, int(l)).astype(np.int32) for l in slot_len],
+        256, 5)
+    pc = common.pack_codes(plan, rp, 5)
+    so, sl, rl = common.pack_tables(plan, slot_len)
+    for r in (0, 17, 99):
+        row, off, ln = int(plan.row[r]), int(plan.off[r]), int(
+            plan.slot_len[r])
+        assert np.array_equal(pc[row, off:off + ln], rp[r, :ln])
+        assert so[row, plan.slot[r]] == off
+        assert sl[row, plan.slot[r]] == ln
+
+
+def test_pack_pipeline_parity(monkeypatch):
+    """Full pipeline with packing on vs off (streaming forced): every
+    result field identical, including word-tier rerun reads (score >= 255
+    trips the byte overflow) and suboptimal/begin positions."""
+    from ssw_tpu import pipeline
+
+    monkeypatch.setenv("SSW_TPU_STREAM_SUBOPT", "1")
+    monkeypatch.setattr(pipeline, "PACK_L", 512)  # tiny batches still pack
+    rng = np.random.default_rng(31)
+    R = 2048
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    reads = []
+    for i in range(40):
+        ln = int(rng.integers(30, 249))  # >= 127 can overflow the byte
+        if i % 2 == 0:                   # tier (score + bias >= 255)
+            off = int(rng.integers(0, R - ln))
+            rd = ref[off:off + ln].copy()
+            m = rng.random(ln) < 0.05
+            rd[m] = rng.integers(0, 4, int(m.sum()))
+        else:
+            rd = rng.integers(0, 4, ln)
+        reads.append(rd.astype(np.int32))
+    req = pipeline.BatchRequest(
+        reads=reads, ref=ref, mat=_dna_mat(), gapO=3, gapE=1, flag=0x0F,
+        mask_len=[max(len(r) // 2, 15) for r in reads])
+
+    monkeypatch.setenv("SSW_TPU_PACK", "0")
+    base = pipeline.align_batch(req, "pallas")
+    assert any(a.flag == 0 and a.score1 >= 255 for a in base)  # word tier
+    monkeypatch.setenv("SSW_TPU_PACK", "1")
+    # the monkeypatched PACK_L must actually trigger packing on this batch
+    read_len = np.int32([len(r) for r in reads])
+    assert pipeline._plan_pack(read_len, np.zeros(40, bool), 64,
+                               256) is not None
+    packed = pipeline.align_batch(req, "pallas")
+    for i, (a, b) in enumerate(zip(base, packed)):
+        assert vars(a) == vars(b), (i, vars(a), vars(b))

@@ -90,6 +90,22 @@ def main():
             breads.append(rng.integers(0, 4, ln).astype(np.int32))
     total += check("dna-streaming-40k", breads, big, dna_matrix(2, 2), 3, 1)
 
+    # lane-packed forward (several reads per kernel row): force the pack
+    # decision at this batch size so the packed kernel runs on hardware;
+    # the scan backend ignores packing, so this is true cross-checking
+    from ssw_tpu import pipeline
+    pack_l = pipeline.PACK_L
+    try:
+        pipeline.PACK_L = 1024
+        assert pipeline._plan_pack(
+            np.array([(len(r) + 15) // 16 * 16 for r in breads],
+                     np.int32),
+            np.zeros(len(breads), bool), 64, 512) is not None
+        total += check("dna-packed-40k", breads, big, dna_matrix(2, 2),
+                       3, 1)
+    finally:
+        pipeline.PACK_L = pack_l
+
     # protein / quirk path (BLOSUM50, min(mat) = -5 < -2*gapE)
     pref = rng.integers(0, 20, 2000).astype(np.int32)
     preads = []
