@@ -188,3 +188,22 @@ def test_pack_pipeline_parity(monkeypatch):
     packed = pipeline.align_batch(req, "pallas")
     for i, (a, b) in enumerate(zip(base, packed)):
         assert vars(a) == vars(b), (i, vars(a), vars(b))
+
+
+def test_pack_degenerate_reads():
+    """Zero-length and 1-base reads: zero-length slots occupy no lanes and
+    must come back as score 0 / end_ref -1 / end_read rl-1, exactly like
+    the unpacked kernel."""
+    rng = np.random.default_rng(41)
+    R = 512
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    reads = [np.zeros(0, np.int32), ref[10:11].copy(),
+             ref[30:120].copy(), np.zeros(0, np.int32)]
+    read_len = np.int32([0, 1, 90, 0])
+    word_rows = np.zeros(4, bool)
+    want, rp, _ = _scan_baseline(ref, reads, read_len, word_rows, 3, 1)
+    got, _ = _packed(ref, rp, read_len, word_rows, 3, 1, 256)
+    for w, g, n in zip(want, got, ("score", "end_ref", "end_read",
+                                   "blockmax")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=n)
