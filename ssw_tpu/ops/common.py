@@ -140,24 +140,27 @@ def pack_plan(slot_len: np.ndarray, L: int,
     row = np.zeros(B, np.int32)
     off = np.zeros(B, np.int32)
     slot = np.zeros(B, np.int32)
-    row_fill: list[int] = []
-    row_slots: list[int] = []
+    # vectorized first-fit: this runs on the host critical path per batch,
+    # so the per-read row search is one numpy argmax over open rows
+    # (O(B*rows) in C) instead of a Python scan
+    cap = max(B, 1)
+    row_fill = np.zeros(cap, np.int64)
+    row_slots = np.zeros(cap, np.int64)
+    n_open = 0
     for r in order:
         ln = int(slot_len[r])
-        for i in range(len(row_fill)):
-            if row_fill[i] + ln <= L and row_slots[i] < max_slots:
-                break
-        else:
-            i = len(row_fill)
-            row_fill.append(0)
-            row_slots.append(0)
+        fits = ((row_fill[:n_open] + ln <= L)
+                & (row_slots[:n_open] < max_slots))
+        i = int(np.argmax(fits)) if fits.any() else n_open
+        if i == n_open:
+            n_open += 1
         row[r] = i
         off[r] = row_fill[i]
         slot[r] = row_slots[i]
         row_fill[i] += ln
         row_slots[i] += 1
-    n_rows = round_up(max(len(row_fill), 1), 8)
-    S = max(row_slots) if row_slots else 1
+    n_rows = round_up(max(n_open, 1), 8)
+    S = int(row_slots[:n_open].max()) if n_open else 1
     return PackPlan(L, n_rows, S, row, slot, off, slot_len)
 
 
