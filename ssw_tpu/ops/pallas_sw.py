@@ -39,6 +39,7 @@ scarce resource), ref (R,) int32 with R % COL_BLOCK == 0, geometry masks
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,9 +54,12 @@ PACK_BUMP = 2 ** 17  # slot separation for packed rows: DP intermediates
                      # span < 2**16, so 2**17 keeps up to 2**14 slots
                      # strictly ordered inside int32
 COL_BLOCK = 256
-UNROLL = 16  # columns per loop iteration: measured +25% on v5e
+UNROLL = int(os.environ.get("SSW_TPU_UNROLL", "16"))
+             # columns per loop iteration: 16 measured +25% on v5e
              # (amortizes loop bookkeeping and lets Mosaic keep
-             # H/E/trackers in registers across columns)
+             # H/E/trackers in registers across columns); the env
+             # override is a measurement knob (read once at import;
+             # must divide COL_BLOCK, and the gate slack scales with it)
 I16_HEADROOM = 2 ** 14  # cell-value bound that makes the int16 tier exact
 GATE_RADIUS = 64  # truncated prefix-max radius for gated column groups
 
