@@ -153,7 +153,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     zero = dt(0)
     if quirk or packed:
         seg_bias = seg_bias_ref[...]
-        seg_reset = seg_reset_ref[...]
+        rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
     if quirk:
         decay_q = -(gmd.astype(jnp.int32) - gapE)
 
@@ -173,7 +173,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             # slot-start lanes are read position 0: no diagonal from the
             # previous slot's read (the F cut is free — gmd is poisoned to
             # NEG at slot starts by the caller)
-            h_shift = jnp.where(seg_reset > 0, zero, h_shift)
+            h_shift = jnp.where(rst, zero, h_shift)
         h_diag = h_shift + sub
         # no 0-clamp on h_tilde: E >= 0 always (its own update clamps), so
         # max(h_diag, E) >= 0 already
@@ -195,7 +195,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             cs = _prefix_max(c + seg_bias, L, neg,
                              bound=max(L // 8, 1)) - seg_bias
             F_loc = _shift_right(cs, 1, neg) - decay_q + gapE
-            F_loc = jnp.where(seg_reset > 0, 0, jnp.maximum(F_loc, 0))
+            F_loc = jnp.where(rst, 0, jnp.maximum(F_loc, 0))
             h_fp = jnp.maximum(h_tilde, F_loc)
         else:
             h_fp = H
@@ -653,7 +653,7 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
     term = term_ref[...]
     if quirk:
         seg_bias = seg_bias_ref[...]
-        seg_reset = seg_reset_ref[...]
+        rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
         decay_q = -(gmd - gapE)
 
     for u in range(REV_CB):
@@ -670,7 +670,7 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
             cs = _prefix_max(c + seg_bias, L, neg,
                              bound=max(L // 8, 1)) - seg_bias
             F_loc = _shift_right(cs, 1, neg) - decay_q + gapE
-            F_loc = jnp.where(seg_reset > 0, 0, jnp.maximum(F_loc, 0))
+            F_loc = jnp.where(rst, 0, jnp.maximum(F_loc, 0))
             h_fp = jnp.maximum(h_tilde, F_loc)
         else:
             h_fp = H
