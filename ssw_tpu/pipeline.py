@@ -254,8 +254,9 @@ def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
 # L=256 bucket waste 22% of the kernel rate on pad lanes (BENCH.md).
 # Streaming/blockmax + quirk-off regime only (the slot bias needs the
 # quirk's headroom, and the non-blockmax (B, R) maxcol has no per-slot
-# extraction).  SSW_TPU_PACK=0 disables.
-PACK_L = 4096
+# extraction).  SSW_TPU_PACK=0 disables; SSW_TPU_PACK_L tunes the packed
+# row width (read once at import).
+PACK_L = int(os.environ.get("SSW_TPU_PACK_L", "4096"))
 
 
 def _plan_pack(read_len, col_word, Bp: int, L: int):

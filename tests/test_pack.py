@@ -207,3 +207,54 @@ def test_pack_degenerate_reads():
                                    "blockmax")):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
                                       err_msg=n)
+
+
+def test_pack_cli_byte_parity(monkeypatch, tmp_path):
+    """Whole CLI (SAM + header + warnings) byte-identical with packing on
+    vs off on a streaming-scale target — packing must be invisible in
+    every emitted byte, not just per-field results."""
+    import io
+
+    from ssw_tpu import cli, pipeline
+
+    # CPU runs the scan backend by default; force the pallas (interpret)
+    # backend + streaming so the CLI really routes through the packed
+    # kernel (R is kept interpret-feasible)
+    monkeypatch.setattr(pipeline, "pick_backend", lambda b: "pallas")
+    monkeypatch.setenv("SSW_TPU_STREAM_SUBOPT", "1")
+    rng = np.random.default_rng(99)
+    R = 4096
+    ref = rng.integers(0, 4, R)
+    bases = np.array(list("ACGT"))
+    tfa = tmp_path / "t.fa"
+    tfa.write_text(">t\n" + "".join(bases[ref]) + "\n")
+    lines = []
+    for i in range(24):
+        ln = int(rng.integers(30, 200))
+        if i % 2 == 0:
+            off = int(rng.integers(0, R - ln))
+            rd = ref[off:off + ln].copy()
+            m = rng.random(ln) < 0.06
+            rd[m] = rng.integers(0, 4, int(m.sum()))
+        else:
+            rd = rng.integers(0, 4, ln)
+        lines.append(f">r{i}\n" + "".join(bases[rd]) + "\n")
+    qfa = tmp_path / "q.fa"
+    qfa.write_text("".join(lines))
+
+    monkeypatch.setattr(pipeline, "PACK_L", 512)
+
+    def run():
+        out, err = io.StringIO(), io.StringIO()
+        rc = cli.main(["-c", "-s", "-h", str(tfa), str(qfa)], out=out,
+                      err=err)
+        assert rc == 0
+        stable_err = [l for l in err.getvalue().splitlines()
+                      if not l.startswith("CPU time:")]
+        return out.getvalue(), stable_err
+
+    monkeypatch.setenv("SSW_TPU_PACK", "0")
+    base = run()
+    monkeypatch.setenv("SSW_TPU_PACK", "1")
+    packed = run()
+    assert base == packed
