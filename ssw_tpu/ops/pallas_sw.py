@@ -143,14 +143,18 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
             h_best_ref[...] = jnp.zeros_like(h_best_ref)
 
-    if blockmax:
-        # block-local per-lane maxima, reduced once at the end of the step
-        rv_ref[...] = jnp.full_like(rv_ref, neg)
-
     dmg = dmg_ref[...]
     gmd = gmd_ref[...]
     maskneg = maskneg_ref[...]
     zero = dt(0)
+    if blockmax:
+        # block-local per-lane maxima, reduced once at the end of the step.
+        # Lane validity moves out of the per-column tracker compare (one
+        # vector add per column) into the block init: invalid lanes start
+        # at +big, which no Hm = H + off can exceed (H < -neg_i, off <= 0),
+        # and are restored to the inert `neg` in the end-of-step merge.
+        invalid = maskneg < zero
+        rv_ref[...] = jnp.where(invalid, dt(-neg_i), neg)
     if quirk or packed:
         seg_bias = seg_bias_ref[...]
         rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
@@ -179,13 +183,12 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # max(h_diag, E) >= 0 already
         h_tilde = jnp.maximum(h_diag, E)
         c = h_tilde + dmg
-        if packed:
-            # slot-segmented scan: the per-slot bias pushes other slots
-            # out of range, so cross-slot carries land ~PACK_BUMP below
-            # any real value and are inert in the F max
-            cm = _prefix_max(c + seg_bias, L, neg, bound=bound) - seg_bias
-        else:
-            cm = _prefix_max(c, L, neg, bound=bound)
+        # packed rows need no bias ops here: the per-slot bias (which makes
+        # cross-slot carries inert, landing ~PACK_BUMP below any real value)
+        # is folded into dmg, and its removal into gmd — both per-lane
+        # constants — by _forward_call, so the slot-segmented scan costs
+        # exactly what the plain scan does
+        cm = _prefix_max(c, L, neg, bound=bound)
         F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
         H = jnp.maximum(h_tilde, F)
         if quirk:
@@ -208,7 +211,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             # below every tracked value; they are a suffix of the grid)
             off = ((jnp.int32(1) - own_ref[0, 0, j])
                    * jnp.int32(neg_i)).astype(dt)
-            Hm = H + (maskneg + off)
+            Hm = H + off  # lane validity lives in the rv init, not here
             rv = rv_ref[...]
             m = Hm > rv
             rv_ref[...] = jnp.where(m, Hm, rv)
@@ -268,8 +271,10 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # merge the block-local (rv, rc) pair into the global (bv, bc)
         # trackers (strict improvement keeps first-attainment order), and
         # one cross-lane reduce per 256 columns (floored at 0, matching
-        # second_best_batch's disallowed->0)
-        rv = rv_ref[...]
+        # second_best_batch's disallowed->0).  Invalid lanes (held at +big
+        # through the step so the per-column compare needs no mask add)
+        # re-enter as the inert `neg` here.
+        rv = jnp.where(invalid, neg, rv_ref[...])
         imp = rv > bv_ref[...]
         bv_ref[...] = jnp.where(imp, rv, bv_ref[...])
         bc_ref[...] = jnp.where(imp, rc_ref[...], bc_ref[...])
@@ -327,8 +332,18 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     seg_reset = (seg_start.astype(bool)
                  | (seg_prev != seg_id)).astype(jnp.int32)
     if packed:
-        # free F cut at slot starts: F = shift(cm) + gmd can never beat
-        # h_tilde >= 0 when gmd is deeply negative there
+        # fold the slot bias into the per-lane affine constants: c arrives
+        # pre-biased through dmg, and F's un-bias rides gmd (whose 1-lane
+        # shift matches shift(cm): F[k] = cm'[k-1] + gmd'[k] uses
+        # seg_bias[k-1], equal to seg_bias[k] at slot-interior lanes) —
+        # deleting both per-column bias ops from the DP loop.  The
+        # slot-start poison (free F cut: a NEG gmd can never beat
+        # h_tilde >= 0) is applied last so it dominates; it must also
+        # dominate the *biased* cm, hence the S guard (pack_plan caps
+        # max_slots at 64 anyway).
+        assert S * PACK_BUMP < -NEG // 16
+        dmg = dmg + seg_bias
+        gmd = gmd - jnp.pad(seg_bias, ((0, 0), (1, 0)))[:, :-1]
         gmd = jnp.where(seg_reset > 0, dt(neg), gmd)
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
