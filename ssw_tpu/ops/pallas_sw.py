@@ -109,6 +109,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     neg_i = NEG16 if dt == jnp.int16 else NEG
     gate = gate_sub is not None
 
+    enc = blockmax and dt != jnp.int16
     if blockmax:
         # lanetrack mode: per-lane (value, first-attainment column)
         # trackers defer every cross-lane reduce to one segmented reduce
@@ -117,17 +118,24 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # global best and end positions are reconstructed outside the
         # kernel from (bv, bc); the per-block maxima feed the streaming
         # suboptimal scan (its full-resolution columns are rebuilt by
-        # bounded window re-runs).  The per-column updates touch only the
-        # block-local pair (rv, rc); the global (bv, bc) merge is one
-        # where-pair per 256-column grid step (5 vector ops/column
-        # instead of 6 — the merge order preserves first-attainment
-        # exactly: within a block rc ends at the last strict improvement
-        # = first attainment of the block max, and a later block merges
-        # only on strict improvement over all earlier blocks).
-        maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref, rc_ref = refs[:7]
+        # bounded window re-runs).  int32 tier (`enc`): the block-local
+        # tracker is ONE int32 per lane, t = H*256 + (255 - j) — a single
+        # running max keeps the highest H and, among equal H, the
+        # earliest column (3 vector ops/column; own-gating rides the
+        # scalar constant).  int16 tier keeps the split (rv, rc) pair
+        # (the encoding needs 23 bits).  Either way the global (bv, bc)
+        # merge is one decode+where-pair per 256-column grid step, and
+        # merge-on-strict-improvement preserves first attainment across
+        # blocks.
+        if enc:
+            maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref = refs[:6]
+            rc_ref = None
+        else:
+            maxcol_ref, bv_ref, bc_ref, H_ref, E_ref, rv_ref, rc_ref = \
+                refs[:7]
     else:
         maxcol_ref, gmax_ref, end_ref_ref, h_best_ref, H_ref, E_ref = refs[:6]
-    hm_ref = refs[7 if blockmax else 6] if gate else None
+    hm_ref = refs[(6 if enc else 7) if blockmax else 6] if gate else None
 
     @pl.when(block == 0)
     def _init():
@@ -151,10 +159,15 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         # block-local per-lane maxima, reduced once at the end of the step.
         # Lane validity moves out of the per-column tracker compare (one
         # vector add per column) into the block init: invalid lanes start
-        # at +big, which no Hm = H + off can exceed (H < -neg_i, off <= 0),
-        # and are restored to the inert `neg` in the end-of-step merge.
+        # at +big, which no per-column candidate can exceed (encoded
+        # t < 2^23; unencoded Hm = H + off has H < -neg_i, off <= 0), and
+        # are restored to the inert `neg` in the end-of-step merge.
         invalid = maskneg < zero
-        rv_ref[...] = jnp.where(invalid, dt(-neg_i), neg)
+        if enc:
+            rv_ref[...] = jnp.where(invalid, jnp.int32(2 ** 30),
+                                    jnp.int32(0))
+        else:
+            rv_ref[...] = jnp.where(invalid, dt(-neg_i), neg)
     if quirk or packed:
         seg_bias = seg_bias_ref[...]
         rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
@@ -206,9 +219,19 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         H_ref[...] = H
         E_ref[...] = E
 
-        if blockmax:
-            # own-gating folded into a scalar offset (non-own columns sink
-            # below every tracked value; they are a suffix of the grid)
+        if enc:
+            # encoded tracker: t = H*256 + (255 - j); ties in H keep the
+            # earlier column (255 - j larger).  own-gating rides the
+            # scalar constant (non-own columns sink to -2^30, below every
+            # valid t >= 0; lane validity lives in the rv init).  Needs
+            # H < 2^23, far above any real cell bound (read_len*max|mat|),
+            # and idx == block*COL_BLOCK + j, which both blockmax callers
+            # guarantee (idx_blocks = arange).
+            own = own_ref[0, 0, j]
+            k = own * jnp.int32(2 ** 30 + 255 - j) - jnp.int32(2 ** 30)
+            rv_ref[...] = jnp.maximum(rv_ref[...], H * jnp.int32(256) + k)
+        elif blockmax:
+            # int16 tier: split (rv, rc) pair, own-gating as an offset
             off = ((jnp.int32(1) - own_ref[0, 0, j])
                    * jnp.int32(neg_i)).astype(dt)
             Hm = H + off  # lane validity lives in the rv init, not here
@@ -268,16 +291,25 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     jax.lax.fori_loop(0, COL_BLOCK // UNROLL, body, 0)
 
     if blockmax:
-        # merge the block-local (rv, rc) pair into the global (bv, bc)
-        # trackers (strict improvement keeps first-attainment order), and
-        # one cross-lane reduce per 256 columns (floored at 0, matching
+        # merge the block-local tracker into the global (bv, bc) pair
+        # (strict improvement keeps first-attainment order), and one
+        # cross-lane reduce per 256 columns (floored at 0, matching
         # second_best_batch's disallowed->0).  Invalid lanes (held at +big
         # through the step so the per-column compare needs no mask add)
         # re-enter as the inert `neg` here.
-        rv = jnp.where(invalid, neg, rv_ref[...])
-        imp = rv > bv_ref[...]
-        bv_ref[...] = jnp.where(imp, rv, bv_ref[...])
-        bc_ref[...] = jnp.where(imp, rc_ref[...], bc_ref[...])
+        if enc:
+            raw = rv_ref[...]
+            rv = jnp.where(invalid, neg, raw >> 8)          # decoded value
+            imp = rv > bv_ref[...]
+            bv_ref[...] = jnp.where(imp, rv, bv_ref[...])
+            col = (jnp.int32(block * COL_BLOCK + 255)
+                   - (raw & jnp.int32(255)))                # decoded column
+            bc_ref[...] = jnp.where(imp, col, bc_ref[...])
+        else:
+            rv = jnp.where(invalid, neg, rv_ref[...])
+            imp = rv > bv_ref[...]
+            bv_ref[...] = jnp.where(imp, rv, bv_ref[...])
+            bc_ref[...] = jnp.where(imp, rc_ref[...], bc_ref[...])
         if packed:
             # per-slot block maxima: S masked reduces per 256 columns
             # (~5*S/256 vector ops per column; the pack planner caps S).
@@ -361,8 +393,11 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                          memory_space=pltpu.VMEM),
             vmem(), vmem(),
         )
-        scratch = [pltpu.VMEM((B, L), dt)] * 3 + [pltpu.VMEM((B, L),
-                                                            jnp.int32)]
+        if use_i16:  # split (rv, rc) tracker pair
+            scratch = [pltpu.VMEM((B, L), dt)] * 3 + [pltpu.VMEM((B, L),
+                                                                 jnp.int32)]
+        else:        # encoded tracker: H, E, rv only (no rc)
+            scratch = [pltpu.VMEM((B, L), jnp.int32)] * 3
         if gate_sub is not None:
             scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     else:

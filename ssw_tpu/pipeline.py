@@ -254,25 +254,41 @@ def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
 # L=256 bucket waste 22% of the kernel rate on pad lanes (BENCH.md).
 # Streaming/blockmax + quirk-off regime only (the slot bias needs the
 # quirk's headroom, and the non-blockmax (B, R) maxcol has no per-slot
-# extraction).  SSW_TPU_PACK=0 disables; SSW_TPU_PACK_L tunes the packed
-# row width (read once at import).
-PACK_L = int(os.environ.get("SSW_TPU_PACK_L", "4096"))
+# extraction).  SSW_TPU_PACK=0 disables; SSW_TPU_PACK_L pins the packed
+# row width (read once at import; 0 = sweep the candidate widths per
+# batch — row width does not change the 32k-lane chunk count the
+# latency-bound column chain sees, but narrower rows waste fewer tail
+# lanes per row, suffer less from the 8-row sublane rounding, and carry
+# fewer slots S for the per-slot merge reduces, while wider rows fit
+# long slots at all, so the best width is a slot-length-dependent
+# tradeoff the planner scores directly).
+PACK_L = int(os.environ.get("SSW_TPU_PACK_L", "0"))
+PACK_WIDTHS = (1024, 2048, 4096)
 
 
 def _plan_pack(read_len, col_word, Bp: int, L: int):
     """A pack plan when the packed layout's lane utilization beats the
-    unpacked one by more than the packed kernel's op overhead (+3 of ~33
-    vector ops per column, plus S/256-amortized slot reduces)."""
+    unpacked one by more than the packed kernel's op overhead (+1 of ~32
+    vector ops per column — the slot-start h_diag cut; the slot bias is
+    free since it rides the affine constants — plus S/256-amortized slot
+    reduces and a flat 2% for the per-slot reconstruction)."""
     slot_len = np.where(col_word, (read_len + 7) // 8 * 8,
                         (read_len + 15) // 16 * 16).astype(np.int32)
-    if slot_len.size == 0 or int(slot_len.max()) > PACK_L // 2:
+    if slot_len.size == 0:
         return None
-    plan = common.pack_plan(slot_len, PACK_L)
+    best, best_eff = None, 0.0
+    for W in (PACK_L,) if PACK_L else PACK_WIDTHS:
+        if int(slot_len.max()) > W // 2:
+            continue
+        plan = common.pack_plan(slot_len, W)
+        overhead = (33.0 + plan.S * 5.0 / 256.0) / 32.0 + 0.02
+        eff = plan.util / overhead
+        if eff > best_eff:
+            best, best_eff = plan, eff
     unpacked_util = float(slot_len.sum()) / max(Bp * L, 1)
-    overhead = (36.0 + plan.S * 5.0 / 256.0) / 33.0 + 0.02
-    if plan.util < unpacked_util * overhead:
+    if best is None or best_eff <= unpacked_util:
         return None
-    return plan
+    return best
 
 
 @jax.jit

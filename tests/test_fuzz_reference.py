@@ -44,11 +44,11 @@ def _write_fastq(path, records):
             f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
 
 
-def _random_workload(rng, tmp, tag):
-    ref_len = rng.randrange(80, 1200)
+def _random_workload(rng, tmp, tag, ref_span=(80, 1200), n_span=(2, 8)):
+    ref_len = rng.randrange(*ref_span)
     ref = "".join(rng.choice(BASES) for _ in range(ref_len))
     reads = []
-    for i in range(rng.randrange(2, 8)):
+    for i in range(rng.randrange(*n_span)):
         ln = rng.randrange(12, min(200, ref_len + 40))
         if rng.random() < 0.7:
             start = rng.randrange(0, max(1, ref_len - ln))
@@ -115,6 +115,37 @@ def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
     rng = random.Random(seed)
     for k, opts in enumerate(OPTSETS):
         t, q = _random_workload(rng, str(tmp_path), f"{seed}_{k}")
+        args = opts + [t, q]
+        ours, ours_err = _run_ours(args)
+        ref, ref_err = _run_ref(ref_binary, args)
+        assert ours == ref, f"stdout mismatch for {args}"
+        assert ours_err == ref_err, f"stderr mismatch for {args}"
+
+
+# seeds chosen arbitrarily; each runs 4 optsets x (streaming + packing)
+@pytest.mark.parametrize("seed", [7, 42])
+def test_fuzz_streaming_packed_byte_parity(ref_binary, tmp_path, seed,
+                                           monkeypatch):
+    """Forced streaming + pinned lane packing: fuzzes the blockmax
+    (encoded lanetrack) kernel, the bounded-window suboptimal re-runs,
+    and the packed forward path against the reference binary at the CLI
+    byte level — the base fuzz workloads are too small to ever take these
+    paths (streaming needs ~32k columns, packing needs full batches)."""
+    from ssw_tpu import pipeline
+
+    # CPU runs the scan backend by default; force the pallas (interpret)
+    # backend so the CLI really routes through the blockmax/packed kernel
+    monkeypatch.setattr(pipeline, "pick_backend", lambda b: "pallas")
+    monkeypatch.setenv("SSW_TPU_STREAM_SUBOPT", "1")
+    monkeypatch.setattr(pipeline, "PACK_L", 512)
+    rng = random.Random(seed)
+    for k, opts in enumerate((["-c"],
+                              ["-c", "-s", "-h"],
+                              ["-r", "-c", "-s", "-h"],
+                              ["-m", "1", "-x", "3", "-o", "5", "-e", "2",
+                               "-c"])):
+        t, q = _random_workload(rng, str(tmp_path), f"sp{seed}_{k}",
+                                ref_span=(2500, 6000), n_span=(10, 24))
         args = opts + [t, q]
         ours, ours_err = _run_ours(args)
         ref, ref_err = _run_ref(ref_binary, args)

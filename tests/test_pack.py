@@ -258,3 +258,32 @@ def test_pack_cli_byte_parity(monkeypatch, tmp_path):
     monkeypatch.setenv("SSW_TPU_PACK", "1")
     packed = run()
     assert base == packed
+
+
+def test_plan_pack_width_sweep():
+    """The planner sweeps PACK_WIDTHS when SSW_TPU_PACK_L is unset: a
+    production config-4 batch (2048x100bp, byte tier) packs at a narrow
+    width (less 8-row rounding waste, smaller S), a 200bp batch picks a
+    wide row (a 1024 row fits only 4 x 208 slots, wasting 19% on the
+    tail), and small batches reject (rounding eats the utilization win)."""
+    from ssw_tpu import pipeline
+
+    if pipeline.PACK_L:
+        pytest.skip("SSW_TPU_PACK_L pinned in this environment")
+    p4 = pipeline._plan_pack(np.full(2048, 100, np.int32),
+                             np.zeros(2048, bool), 2048, 128)
+    assert p4 is not None and p4.L == 1024 and p4.S == 9
+    p200 = pipeline._plan_pack(np.full(1024, 200, np.int32),
+                               np.zeros(1024, bool), 1024, 256)
+    assert p200 is not None and p200.L == 4096
+    assert pipeline._plan_pack(np.full(256, 100, np.int32),
+                               np.zeros(256, bool), 256, 128) is None
+    # pinning a width restricts the sweep to it
+    old = pipeline.PACK_L
+    try:
+        pipeline.PACK_L = 2048
+        pinned = pipeline._plan_pack(np.full(2048, 100, np.int32),
+                                     np.zeros(2048, bool), 2048, 128)
+        assert pinned is not None and pinned.L == 2048
+    finally:
+        pipeline.PACK_L = old
