@@ -1,0 +1,41 @@
+"""Long-target benchmark (BASELINE config-5 proxy): 1000 Illumina reads
+vs the synthesized 10 Mbp target, full CLI with -c -s -h, printing one
+dict line with wall, phases, forward GCUPS, and peak RSS.  Extracted
+from tools/measure_r3.sh stage 4 so automated recovery batteries can
+invoke it directly.  Ref workload: /root/reference/README.md:66-74."""
+
+import gzip, io, os, resource, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+
+N_READS = 1000
+lines = []
+with gzip.open("bench_data/100k_illumina1.fastq.gz", "rt") as f:
+    for _ in range(N_READS * 4):
+        lines.append(f.readline())
+with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as tf:
+    tf.writelines(lines)
+    path = tf.name
+
+from ssw_tpu import cli, pipeline, profiling
+
+warm = io.StringIO()
+with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as tw:
+    tw.writelines(lines[: 4 * 64])
+cli.main(["-c", "-s", "-h", "bench_data/10M.fa", tw.name], out=warm, err=warm)
+os.unlink(tw.name)
+
+counter = profiling.GcupsCounter()
+out, err = io.StringIO(), io.StringIO()
+t0 = time.perf_counter()
+with pipeline.profiled(counter):
+    rc = cli.main(["-c", "-s", "-h", "bench_data/10M.fa", path], out=out,
+                  err=err)
+dt = time.perf_counter() - t0
+os.unlink(path)
+n = sum(1 for l in out.getvalue().splitlines() if l and not l.startswith("@"))
+print({"rc": rc, "reads": N_READS, "records": n, "seconds": round(dt, 1),
+       "reads_per_s": round(N_READS / dt, 2),
+       "phases": {k: round(v, 2) for k, v in counter.seconds.items()},
+       "gcups_forward": round(counter.gcups("forward"), 2),
+       "peak_rss_gb": round(
+           resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)})
