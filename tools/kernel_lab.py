@@ -93,9 +93,15 @@ def make_kernel(variant: str, unroll: int = UNROLL):
     #   gatescan  -- 6-level scan when the block-entry colmax bound proves
     #                no F-carry can cross 63 lanes; else full 8-level
     #   r3        -- all three combined
-    noclamp = variant in ("noclamp", "r3", "lanetrack_nc", "gatescan_nc")
+    noclamp = variant in ("noclamp", "r3", "lanetrack_nc", "gatescan_nc",
+                          "enc", "r3e")
     lanetrack = variant in ("lanetrack", "lanetrack_nc", "r3")
-    gatescan = variant in ("gatescan", "gatescan_nc", "r3")
+    gatescan = variant in ("gatescan", "gatescan_nc", "r3", "r3e")
+    # enc: the round-3 encoded lanetrack tracker — one running max over
+    # t = H*256 + (255 - j) replaces the (val, col, blockmax) triple
+    # (3 vector ops/column vs 5); r3e = enc + gatescan + noclamp, the
+    # production default path's probe twin
+    enc = variant in ("enc", "r3e")
 
     def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
                maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
@@ -110,12 +116,12 @@ def make_kernel(variant: str, unroll: int = UNROLL):
             gmax_ref[...] = jnp.zeros_like(gmax_ref)
             end_ref_ref[...] = jnp.full_like(end_ref_ref, -1)
             h_best_ref[...] = jnp.zeros_like(h_best_ref)
-            if lanetrack or gatescan:
+            if lanetrack or gatescan or enc:
                 ring_ref[0] = jnp.zeros_like(ring_ref[0])
                 ring_ref[1] = jnp.zeros_like(ring_ref[1])
                 hm_ref[0, 0] = 0
 
-        if lanetrack or gatescan or noclamp:
+        if lanetrack or gatescan or noclamp or enc:
             # r3 probe family: per-lane (val, col) trackers / blockmax acc /
             # level-gated scan.  max_sub = 2 in the lab workload.
             dmg_l = dmg_ref[...]
@@ -143,7 +149,10 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                     jnp.int32(0))
                 H_ref[...] = H
                 E_ref[...] = E
-                if lanetrack:
+                if enc:
+                    t = H * jnp.int32(256) + (jnp.int32(255) - j)
+                    ring_ref[0] = jnp.maximum(ring_ref[0], t)
+                elif lanetrack:
                     m = H > ring_ref[0]
                     ring_ref[0] = jnp.where(m, H, ring_ref[0])
                     h_best_ref[...] = jnp.where(
@@ -187,7 +196,22 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                 return 0
 
             jax.lax.fori_loop(0, COL_BLOCK // unroll, body, 0)
-            if lanetrack:
+            if enc:
+                # decode + merge once per grid step (the production kernel's
+                # (bv, bc) merge shape): block maxima, strict-improvement
+                # global best with first-attainment column
+                raw = ring_ref[0]
+                val = raw >> 8
+                mv = jnp.max(val, axis=1, keepdims=True)
+                maxcol_ref[:, :1] = mv
+                imp = mv > gmax_ref[...]
+                gmax_ref[...] = jnp.where(imp, mv, gmax_ref[...])
+                end_ref_ref[...] = jnp.where(
+                    imp, block * COL_BLOCK + 255
+                    - (jnp.max(raw, axis=1, keepdims=True)
+                       & jnp.int32(255)), end_ref_ref[...])
+                ring_ref[0] = jnp.zeros_like(raw)
+            elif lanetrack:
                 # blockmax store + per-grid-step escape of the val tracker
                 maxcol_ref[:, :1] = jnp.max(ring_ref[1], axis=1,
                                             keepdims=True)

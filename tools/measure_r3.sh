@@ -14,7 +14,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/jaxcache}
 MODE=${1:-quick}
 
 # 0. health baseline: expect ~27 ms/call, ~39 G lane-cells/s on 'full'
-timeout 900 python tools/kernel_lab.py full lanetrack gatescan r3 || exit 1
+timeout 900 python tools/kernel_lab.py full lanetrack gatescan r3 enc r3e || exit 1
 
 # 1. production-kernel ablations: the driver metric under each mode
 #    (gate x blockmax x pack); the headline is the first row (all on)
