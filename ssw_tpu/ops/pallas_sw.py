@@ -93,7 +93,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                     seg_bias_ref,      # VMEM (B, L) int32 seg_id * SEG_BUMP
                     seg_reset_ref,     # VMEM (B, L) int32 0/1
                     *refs,             # outputs + scratch, mode-dependent:
-                                       # blockmax: maxcol (B,S) int32 acc,
+                                       # blockmax: maxcol (1,B,S) int32 acc,
                                        #   bv (B,L) dt, bc (B,L) int32,
                                        #   scratch H, E, rv (B,L) dt,
                                        #   rc (B,L) int32
@@ -321,11 +321,11 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                 mS = jnp.max(jnp.where(seg_bias == s * PACK_BUMP, rv32,
                                        jnp.int32(NEG)),
                              axis=1, keepdims=True)
-                maxcol_ref[...] = jnp.where(lane_s == s,
-                                            jnp.maximum(mS, 0),
-                                            maxcol_ref[...])
+                maxcol_ref[0] = jnp.where(lane_s == s,
+                                          jnp.maximum(mS, 0),
+                                          maxcol_ref[0])
         else:
-            maxcol_ref[...] = jnp.maximum(
+            maxcol_ref[0] = jnp.maximum(
                 jnp.max(rv.astype(jnp.int32), axis=1, keepdims=True),
                 0)
 
@@ -380,16 +380,20 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     if blockmax:
-        # lanetrack outputs: (B, nblocks*S) per-slot block maxima +
-        # per-lane (value, first-attainment column) trackers;
-        # gmax/end_ref/end_read are reconstructed by the caller
+        # lanetrack outputs: per-slot block maxima + per-lane (value,
+        # first-attainment column) trackers; gmax/end_ref/end_read are
+        # reconstructed by the caller.  The maxima land as (nblocks, B, S)
+        # with the grid step as the MAJOR axis: Mosaic requires the last
+        # two block dims to be (8, 128)-divisible or equal to the array's,
+        # and (B, S) blocks of a (B, nblocks*S) array satisfy neither for
+        # S < 128 — (1, B, S) blocks of (nblocks, B, S) trivially do.
         out_shape = (
-            jax.ShapeDtypeStruct((B, nblocks * S), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, B, S), jnp.int32),
             jax.ShapeDtypeStruct((B, L), dt),
             jax.ShapeDtypeStruct((B, L), jnp.int32),
         )
         out_specs = (
-            pl.BlockSpec((B, S), lambda i: (0, i),
+            pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vmem(), vmem(),
         )
@@ -439,7 +443,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         bytes_accessed=int(nblocks * COL_BLOCK) * B * 4,
         transcendentals=0,
     )
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -447,6 +451,13 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         interpret=interpret,
     )(ref_blocks, idx_blocks, own_blocks, profile.astype(dt), dmg, gmd,
       maskneg, seg_bias, seg_reset)
+    if blockmax:
+        # restore the (B, nblocks*S) layout every consumer expects; this
+        # is a cheap HBM pass over an array already COL_BLOCK x smaller
+        # than the per-column maxima it replaces
+        mc = jnp.transpose(res[0], (1, 0, 2)).reshape(B, nblocks * S)
+        res = (mc,) + res[1:]
+    return res
 
 
 _I16_OK: bool | None = None
@@ -732,11 +743,11 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
         colmax = jnp.maximum(
             jnp.max(H + maskneg, axis=1, keepdims=True), 0)  # (B, 1)
         if emit_maxcol:
-            # each lane u of the fresh (B, REV_CB) block is written exactly
-            # once across the unrolled loop, so no init pass is needed
+            # each lane u of the fresh (1, B, REV_CB) block is written
+            # exactly once across the unrolled loop, so no init is needed
             lane = jax.lax.broadcasted_iota(jnp.int32,
                                             (colmax.shape[0], REV_CB), 1)
-            mc_ref[...] = jnp.where(lane == u, colmax, mc_ref[...])
+            mc_ref[0] = jnp.where(lane == u, colmax, mc_ref[0])
         done = done_ref[...]
         gmax = gmax_ref[...]
         upd = (colmax > gmax) & (done == 0)
@@ -781,7 +792,7 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ) + ((pl.BlockSpec((B, REV_CB), lambda i: (0, i),
+        ) + ((pl.BlockSpec((1, B, REV_CB), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM),) if emit_maxcol
              else ()),
         scratch_shapes=[
@@ -794,15 +805,21 @@ def _perread_call(subs, term, col_mask, seg_id, seg_start, L: int,
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
-    ) + ((jax.ShapeDtypeStruct((B, W), jnp.int32),) if emit_maxcol else ())
+    ) + ((jax.ShapeDtypeStruct((nblocks, B, REV_CB), jnp.int32),)
+         if emit_maxcol else ())
     cost = pl.CostEstimate(
         flops=int(W) * B * L * 40,
         bytes_accessed=int(W) * B * L * 4,
         transcendentals=0,
     )
-    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
-                          cost_estimate=cost, interpret=interpret)(
+    res = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                         cost_estimate=cost, interpret=interpret)(
         subs, term, dmg, gmd, maskneg, seg_bias, seg_reset)
+    if emit_maxcol:
+        # grid-major layout (see _forward_call's blockmax note) -> (B, W)
+        mc = jnp.transpose(res[3], (1, 0, 2)).reshape(B, W)
+        res = res[:3] + (mc,)
+    return res
 
 
 def forward_perread_ref(profile, refw, read_len, col_mask, seg_id, seg_start,
