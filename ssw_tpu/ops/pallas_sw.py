@@ -681,7 +681,9 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
                     gmax_ref,          # out VMEM (B, 1) int32
                     end_ref_ref,       # out VMEM (B, 1) int32
                     h_best_ref,        # out VMEM (B, L) int32
-                    *rest_refs,        # [mc_ref (B, REV_CB) if emit_maxcol]
+                    *rest_refs,        # [mc_ref (1, B, REV_CB) grid-major
+                                       #  block of the (nblocks, B, REV_CB)
+                                       #  array if emit_maxcol]
                                        # + scratch H, E (B, L), done (B, 1)
                     gapO: int, gapE: int, L: int, quirk: bool,
                     emit_maxcol: bool = False):
@@ -689,9 +691,10 @@ def _perread_kernel(subs_ref,          # VMEM (B, REV_CB*L) int8 gathered
     terminate-at-score1 column-loop break (ref: src/ssw.c:339-341,918-930).
     Same DP recurrence as _forward_kernel; the profile gather happens
     outside (XLA take_along_axis) and streams in as per-column (B, L)
-    substitution slabs.  emit_maxcol adds a (B, REV_CB) per-column-maxima
-    output block per grid step (the streaming suboptimal scan's window
-    re-runs, clamped at 0 like the scan path)."""
+    substitution slabs.  emit_maxcol adds a (1, B, REV_CB) grid-major
+    per-column-maxima output block per grid step — the full array is
+    (nblocks, B, REV_CB) — for the streaming suboptimal scan's window
+    re-runs, clamped at 0 like the scan path."""
     if emit_maxcol:
         mc_ref, H_ref, E_ref, done_ref = rest_refs
     else:
