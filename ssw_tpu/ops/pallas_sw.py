@@ -61,7 +61,23 @@ UNROLL = int(os.environ.get("SSW_TPU_UNROLL", "16"))
              # override is a measurement knob (read once at import;
              # must divide COL_BLOCK, and the gate slack scales with it)
 I16_HEADROOM = 2 ** 14  # cell-value bound that makes the int16 tier exact
-GATE_RADIUS = 64  # truncated prefix-max radius for gated column groups
+GATE_RADIUS = 64   # truncated prefix-max radius for gated column groups
+GATE_RADIUS2 = 128  # wide second tier — measurement-only (SSW_TPU_GATE2=1):
+                    # the s=128 scan level it would skip is a whole-vreg
+                    # move that Mosaic issues for ~free (measured:
+                    # kernel_lab r3e!128 == enc within noise), so the tier
+                    # is dead branch weight in production (BENCH.md r4)
+NOISE_CEIL_PER_SUB = 21  # auto-disable heuristic: a gate tier only pays if
+                    # its threshold clears the noise ceiling of a 32k-lane
+                    # chunk, else the branch + hm reduce are pure overhead
+                    # (measured -1.7% at default penalties, BENCH.md r4).
+                    # Karlin-Altschul for a balanced +-m DNA matrix gives
+                    # lambda = ln(3)/m, so E[max noise H over lanes*window
+                    # ~ 2^27 cells] ~= ln(2^27)/lambda + 4/lambda tail
+                    # ~= 21*m.  Defaults m2/x2/o3/e1: threshold 34 < 42 ->
+                    # off (measured noise 55-82 confirms it cannot open);
+                    # m1/x3/o5/e2: threshold 83 > 21 -> on (measured open
+                    # ~100% of noise columns).
 
 
 def _shift_right(x, s, fill):
@@ -102,12 +118,13 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                                        #   h_best (B,L) dt, scratch H, E
                     gapO: int, gapE: int, L: int, quirk: bool, dt,
                     blockmax: bool = False, gate_sub: int | None = None,
+                    gate_radii: tuple = (),
                     packed: bool = False, pack_bound: int | None = None,
                     S: int = 1):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
     neg_i = NEG16 if dt == jnp.int16 else NEG
-    gate = gate_sub is not None
+    gate = gate_sub is not None and bool(gate_radii)
 
     enc = blockmax and dt != jnp.int16
     if blockmax:
@@ -256,29 +273,41 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                                          end_ref_ref[...])
             h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
       if gate:
-          # raw max over ALL lanes (padded lanes carry real, undecayed
-          # values diagonally — they are legitimate F-carry sources and
-          # must keep the gate shut while they are hot)
-          hm_ref[0, 0] = jnp.max(H_ref[...].astype(jnp.int32))
+          # max over VALID lanes only: pad lanes do carry real, undecayed
+          # values diagonally, but carries flow strictly rightward and
+          # valid lanes are a prefix of the row (or of their slot, whose
+          # boundary the pack bias cuts), so a hot pad lane can only
+          # corrupt other pad lanes — unobservable.  Masking keeps a hot
+          # read's pad transit from shutting the gate for the whole chunk.
+          hm_ref[0, 0] = jnp.max((H_ref[...] + maskneg).astype(jnp.int32))
 
     if gate:
         # exact bounded-radius scan: F(k) only sees carries from lanes
-        # k' >= k - GATE_RADIUS + 1 after truncation; a dropped carry is
-        #   h_tilde(k') - gapO - d*gapE  with  d >= GATE_RADIUS,
+        # k' >= k - radius + 1 after truncation; a dropped carry is
+        #   h_tilde(k') - gapO - d*gapE  with  d >= radius,
         # inert (< 0, and H = max(h_tilde >= 0, F)) whenever
-        #   max h_tilde <= gapO + (GATE_RADIUS - 1)*gapE.
+        #   max h_tilde <= gapO + (radius - 1)*gapE.
         # Within a 16-column group, max h_tilde grows by at most max_sub
         # per column from the gate sample, hence the UNROLL*max_sub slack.
-        thresh = gapO + (GATE_RADIUS - 1) * gapE - UNROLL * gate_sub
+        # Tiers (tightest first, from gate_radii): each group runs at the
+        # tightest radius whose threshold admits the current max H, else
+        # the full scan — one pl.when branch per tier + one for full.
+        tiers = [(r, gapO + (r - 1) * gapE - UNROLL * gate_sub)
+                 for r in gate_radii]
 
         def body(jj, _):
-            safe = hm_ref[0, 0] <= thresh
+            hm = hm_ref[0, 0]
+            lo = None
+            for r, t in tiers:
+                cond = (hm <= t) if lo is None else ((hm <= t) & (hm > lo))
 
-            @pl.when(safe)
-            def _fast():
-                run_group(jj, GATE_RADIUS)
+                @pl.when(cond)
+                def _tier(r=r):
+                    run_group(jj, r)
 
-            @pl.when(jnp.logical_not(safe))
+                lo = t
+
+            @pl.when(hm > lo)
             def _full():
                 run_group(jj, None)
 
@@ -333,20 +362,24 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
 @functools.partial(jax.jit, static_argnames=("gapO", "gapE", "quirk",
                                               "use_i16", "interpret",
                                               "blockmax", "gate_sub",
+                                              "gate_radii",
                                               "packed", "pack_bound", "S"))
 def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   seg_id, seg_start, gapO: int, gapE: int,
                   quirk: bool = True, use_i16: bool = False,
                   interpret: bool = False, blockmax: bool = False,
-                  gate_sub: int | None = None, packed: bool = False,
+                  gate_sub: int | None = None, gate_radii: tuple = (),
+                  packed: bool = False,
                   pack_bound: int | None = None, S: int = 1,
                   lane_off=None):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
     neg = NEG16 if use_i16 else NEG
+    gated = gate_sub is not None and bool(gate_radii)
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
                                quirk=quirk, dt=dt, blockmax=blockmax,
+                               gate_radii=gate_radii,
                                gate_sub=gate_sub, packed=packed,
                                pack_bound=pack_bound, S=S)
     if lane_off is None:
@@ -402,7 +435,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                                                                  jnp.int32)]
         else:        # encoded tracker: H, E, rv only (no rc)
             scratch = [pltpu.VMEM((B, L), jnp.int32)] * 3
-        if gate_sub is not None:
+        if gated:
             scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     else:
         out_shape = (
@@ -419,7 +452,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
             vmem(),
         )
         scratch = [pltpu.VMEM((B, L), dt)] * 2
-        if gate_sub is not None:
+        if gated:
             scratch.append(pltpu.SMEM((1, 1), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -532,21 +565,42 @@ def _i16_parity_ok() -> bool:
         return False
 
 
+def gate_plan(L: int, gapO: int, gapE: int, max_sub: int | None,
+              pack_bound: int | None = None
+              ) -> tuple[int | None, tuple[int, ...]]:
+    """(gate_sub, radii): the bounded-radius scan tiers that are provable
+    and profitable, tightest first; (None, ()) disables the gate.  A tier
+    needs max|mat| for its growth slack, a scan longer than its radius to
+    have anything to save (for packed rows the effective scan length is
+    the slot bound, not the row width), a positive threshold (otherwise no
+    group can ever take that branch and it is dead weight), and — unless
+    SSW_TPU_GATESCAN=force — a threshold above the chunk's noise ceiling
+    (NOISE_CEIL_PER_SUB * max_sub; a tier whose threshold sits below the
+    typical all-lanes max H never opens and only costs its branch).
+    SSW_TPU_GATE2=1 adds the radius-128 tier (measurement only — the
+    s=128 scan level is free, see GATE_RADIUS2)."""
+    import os
+    mode = os.environ.get("SSW_TPU_GATESCAN", "1")
+    if max_sub is None or mode == "0":
+        return None, ()
+    eff = L if pack_bound is None else min(L, pack_bound)
+    allowed = ((GATE_RADIUS, GATE_RADIUS2)
+               if os.environ.get("SSW_TPU_GATE2", "0") == "1"
+               else (GATE_RADIUS,))
+    floor = 0 if mode == "force" else NOISE_CEIL_PER_SUB * max_sub
+    radii = tuple(
+        r for r in allowed
+        if r < eff and gapO + (r - 1) * gapE - UNROLL * max_sub > floor)
+    if not radii:
+        return None, ()
+    return int(max_sub), radii
+
+
 def gate_sub_for(L: int, gapO: int, gapE: int,
                  max_sub: int | None) -> int | None:
-    """max_sub when the bounded-radius scan gate is provable and
-    profitable, else None (gate off).  The gate needs max|mat| for its
-    growth slack, a scan longer than the truncated radius to have anything
-    to save, and a positive threshold (otherwise no group can ever be
-    safe and the second branch is dead weight)."""
-    import os
-    if max_sub is None or os.environ.get("SSW_TPU_GATESCAN", "1") == "0":
-        return None
-    if L <= GATE_RADIUS:
-        return None
-    if gapO + (GATE_RADIUS - 1) * gapE - UNROLL * max_sub <= 0:
-        return None
-    return int(max_sub)
+    """max_sub when any bounded-radius scan tier is provable and
+    profitable, else None (gate off).  See gate_plan."""
+    return gate_plan(L, gapO, gapE, max_sub)[0]
 
 
 def i16_exact(L: int, gapO: int, gapE: int, max_sub: int | None,
@@ -596,7 +650,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
         own_blocks = jnp.ones(ref_blocks.shape, jnp.int32)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
-    gate_sub = gate_sub_for(L, gapO, gapE, max_sub)
+    gate_sub, gate_radii = gate_plan(L, gapO, gapE, max_sub)
 
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
@@ -624,7 +678,7 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
             jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
             own_blocks, take(col_mask, 0), take(seg_id, 0),
             take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret,
-            blockmax, gate_sub)
+            blockmax, gate_sub, gate_radii)
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
@@ -914,11 +968,12 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
          jnp.zeros((pad,), jnp.int32)]).reshape(-1, 1, COL_BLOCK)
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
+    gate_sub, gate_radii = gate_plan(L, gapO, gapE, max_sub)
     maxcol, gmax, end_ref, h_best = _forward_call(
         jnp.transpose(profile, (1, 0, 2)), ref_blocks, idx_blocks,
         own_blocks, col_mask.astype(jnp.int32), seg_id.astype(jnp.int32),
         seg_start.astype(jnp.int32), gapO, gapE, quirk, use_i16, interpret,
-        gate_sub=gate_sub_for(L, gapO, gapE, max_sub))
+        gate_sub=gate_sub, gate_radii=gate_radii)
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
     hit = ((h_best.astype(jnp.int32) == gmax) & (j < read_len[:, None])
            & (gmax > 0))
@@ -1010,7 +1065,8 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
     # power of two so the compiled-shape set stays small)
     pack_bound = max(int(np.max(np.asarray(sl))), 1)
     pack_bound = 1 << (pack_bound - 1).bit_length()
-    gate_sub = gate_sub_for(L, gapO, gapE, max_sub)
+    gate_sub, gate_radii = gate_plan(L, gapO, gapE, max_sub,
+                                     pack_bound=pack_bound)
     so_d, sl_d, rl_d = jnp.asarray(so), jnp.asarray(sl), jnp.asarray(rl_s)
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
@@ -1023,8 +1079,8 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
             idx_blocks, own_blocks, col_mask.astype(jnp.int32), slot_id,
             slot_start.astype(jnp.int32), gapO, gapE, quirk=False,
             use_i16=False, interpret=interpret, blockmax=True,
-            gate_sub=gate_sub, packed=True, pack_bound=pack_bound, S=S,
-            lane_off=lane_off)
+            gate_sub=gate_sub, gate_radii=gate_radii, packed=True,
+            pack_bound=pack_bound, S=S, lane_off=lane_off)
         outs.append(_pack_reconstruct(bv, bc, maxcol, slot_id, lane_off,
                                       rl_d[lo:hi], S))
     if len(outs) == 1:

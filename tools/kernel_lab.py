@@ -70,7 +70,8 @@ def _prefix_max_r4(x, L, neg):
     return x
 
 
-def make_kernel(variant: str, unroll: int = UNROLL):
+def make_kernel(variant: str, unroll: int = UNROLL,
+                forced_bound: int | None = None, count: bool = False):
     do_dp = variant not in ("nodp", "skeleton")
     do_track = variant not in ("notrack", "noprof_notrack", "skeleton")
     do_store = variant not in ("nostore", "notrack", "noprof_notrack",
@@ -94,14 +95,20 @@ def make_kernel(variant: str, unroll: int = UNROLL):
     #                no F-carry can cross 63 lanes; else full 8-level
     #   r3        -- all three combined
     noclamp = variant in ("noclamp", "r3", "lanetrack_nc", "gatescan_nc",
-                          "enc", "r3e")
+                          "enc", "r3e", "r3e2")
     lanetrack = variant in ("lanetrack", "lanetrack_nc", "r3")
-    gatescan = variant in ("gatescan", "gatescan_nc", "r3", "r3e")
+    gatescan = variant in ("gatescan", "gatescan_nc", "r3", "r3e", "r3e2")
+    # r3e2: the round-4 two-tier gate (radius 64 at thresh1, radius 128 at
+    # thresh2 = gapO + 127*gapE - UNROLL*max_sub, else full); `count`
+    # surfaces per-tier engagement via the end_ref output (rows 0-2)
+    gate2 = variant == "r3e2"
+    if forced_bound is not None:   # '!R' suffix: forced truncation —
+        gatescan = gate2 = False   # INEXACT, measures the tier's ceiling
     # enc: the round-3 encoded lanetrack tracker — one running max over
     # t = H*256 + (255 - j) replaces the (val, col, blockmax) triple
     # (3 vector ops/column vs 5); r3e = enc + gatescan + noclamp, the
     # production default path's probe twin
-    enc = variant in ("enc", "r3e")
+    enc = variant in ("enc", "r3e", "r3e2")
 
     def kernel(ref_ref, profile_ref, dmg_ref, gmd_ref, maskneg_ref,
                maxcol_ref, gmax_ref, end_ref_ref, h_best_ref,
@@ -119,7 +126,8 @@ def make_kernel(variant: str, unroll: int = UNROLL):
             if lanetrack or gatescan or enc:
                 ring_ref[0] = jnp.zeros_like(ring_ref[0])
                 ring_ref[1] = jnp.zeros_like(ring_ref[1])
-                hm_ref[0, 0] = 0
+                for k in range(4):
+                    hm_ref[0, k] = 0
 
         if lanetrack or gatescan or noclamp or enc:
             # r3 probe family: per-lane (val, col) trackers / blockmax acc /
@@ -172,27 +180,47 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                     h_best_ref[...] = jnp.where(upd, H, h_best_ref[...])
                 return H, E
 
+            thresh2 = gapO + 127 * gapE - unroll * 2
+
             def body(jj, _):
-                def run16(bound):
+                def run16(bound, slot=None):
                     H = H_ref[...]
                     E = E_ref[...]
                     for u in range(unroll):
                         H, E = col_step(jj * unroll + u, H, E, bound)
                     if gatescan:
                         hm_ref[0, 0] = jnp.max(H + maskneg_l)
+                    if count and slot is not None:
+                        hm_ref[0, slot] = hm_ref[0, slot] + 1
 
-                if gatescan:
+                if gate2:
+                    hm = hm_ref[0, 0]
+                    t1 = hm <= thresh
+                    t2 = hm <= thresh2
+
+                    @pl.when(t1)
+                    def _fast():
+                        run16(64, 1)
+
+                    @pl.when(jnp.logical_not(t1) & t2)
+                    def _mid():
+                        run16(128, 2)
+
+                    @pl.when(jnp.logical_not(t2))
+                    def _full():
+                        run16(L, 3)
+                elif gatescan:
                     safe = hm_ref[0, 0] <= thresh
 
                     @pl.when(safe)
                     def _fast():
-                        run16(64)
+                        run16(64, 1)
 
                     @pl.when(jnp.logical_not(safe))
                     def _full():
-                        run16(L)
+                        run16(L, 3)
                 else:
-                    run16(L)
+                    run16(L if forced_bound is None else forced_bound)
                 return 0
 
             jax.lax.fori_loop(0, COL_BLOCK // unroll, body, 0)
@@ -217,6 +245,17 @@ def make_kernel(variant: str, unroll: int = UNROLL):
                                             keepdims=True)
                 ring_ref[1] = jnp.zeros_like(ring_ref[1])
                 gmax_ref[...] = jnp.max(ring_ref[0], axis=1, keepdims=True)
+            if count:
+                # surface per-tier group counts via end_ref rows 0-2 on the
+                # last block (counts live in SMEM hm_ref[0, 1:4])
+                @pl.when(block == NBLOCKS - 1)
+                def _emit_counts():
+                    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                    cnts = jnp.where(row == 0, hm_ref[0, 1],
+                                     jnp.where(row == 1, hm_ref[0, 2],
+                                               hm_ref[0, 3]))
+                    end_ref_ref[...] = jnp.where(row < 3, cnts,
+                                                 end_ref_ref[...])
             return
 
         dmg = dmg_ref[...]
@@ -379,9 +418,12 @@ def make_kernel(variant: str, unroll: int = UNROLL):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("variant", "unroll"))
-def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL):
-    kernel = functools.partial(make_kernel(variant, unroll), gapO=3, gapE=1)
+@functools.partial(jax.jit, static_argnames=("variant", "unroll",
+                                              "forced_bound", "count"))
+def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL,
+        forced_bound=None, count=False):
+    kernel = functools.partial(make_kernel(variant, unroll, forced_bound,
+                                           count), gapO=3, gapE=1)
     n1 = profile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -409,7 +451,7 @@ def run(profile, ref_blocks, dmg, gmd, maskneg, variant, unroll=UNROLL):
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((B, L), jnp.int32),
             pltpu.VMEM((8, B, L), jnp.int32),
-            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SMEM((1, 4), jnp.int32),
         ],
     )
     out_shape = (
@@ -431,6 +473,13 @@ def main():
         v = label
         unroll = UNROLL
         b, l, nb = 128, 256, 128
+        count = v.endswith("?")
+        if count:
+            v = v[:-1]
+        forced = None
+        if "!" in v:
+            v, s = v.split("!")
+            forced = int(s)
         if "@" in v:
             v, s = v.split("@")
             unroll = int(s)
@@ -451,16 +500,24 @@ def main():
         maskneg = jnp.zeros((B, L), jnp.int32)
         cells = B * L * NBLOCKS * COL_BLOCK
         try:
-            outs = run(profile, ref_blocks, dmg, gmd, maskneg, v, unroll)
+            outs = run(profile, ref_blocks, dmg, gmd, maskneg, v, unroll,
+                       forced, count)
             np.asarray(outs[1])  # force
             t0 = time.perf_counter()
             for _ in range(REPS):
-                outs = run(profile, ref_blocks, dmg, gmd, maskneg, v, unroll)
+                outs = run(profile, ref_blocks, dmg, gmd, maskneg, v,
+                           unroll, forced, count)
             np.asarray(outs[1])
             dt = (time.perf_counter() - t0 - 0.028) / REPS
             rate = cells / dt / 1e9
+            extra = ""
+            if count:
+                c = np.asarray(outs[2])[:3, 0]
+                total = NBLOCKS * (COL_BLOCK // unroll)
+                extra = (f"   tiers r64/r128/full = "
+                         f"{c[0]}/{c[1]}/{c[2]} of {total}")
             print(f"{label:16s}: {dt*1e3:8.2f} ms/call   "
-                  f"{rate:8.1f} G lane-cells/s", flush=True)
+                  f"{rate:8.1f} G lane-cells/s{extra}", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{label:16s}: FAIL {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
