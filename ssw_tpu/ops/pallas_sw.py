@@ -53,6 +53,13 @@ SEG_BUMP = 2 ** 21
 PACK_BUMP = 2 ** 17  # slot separation for packed rows: DP intermediates
                      # span < 2**16, so 2**17 keeps up to 2**14 slots
                      # strictly ordered inside int32
+QBUMP = PACK_BUMP // 16  # sub-slot lane-block separation for the quirk's
+                     # segmented scan on PACKED rows: a slot has at most 16
+                     # blocks (byte tier), so block biases stay strictly
+                     # inside one PACK_BUMP step and (slot, block) ordering
+                     # is lexicographic; exact only while the slot-local
+                     # value span  pack_bound*(max_sub+gapE)+gapO  < QBUMP
+                     # (the planner guards; protein reads are far inside)
 COL_BLOCK = 256
 UNROLL = int(os.environ.get("SSW_TPU_UNROLL", "16"))
              # columns per loop iteration: 16 measured +25% on v5e
@@ -126,6 +133,12 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     neg_i = NEG16 if dt == jnp.int16 else NEG
     gate = gate_sub is not None and bool(gate_radii)
 
+    if quirk and packed:
+        # extra input: per-lane block bias (qseg * QBUMP) for the quirk's
+        # segmented scan — seg_bias_ref keeps the slot id (extraction)
+        qbias_ref, *refs = refs
+        refs = tuple(refs)
+
     enc = blockmax and dt != jnp.int16
     if blockmax:
         # lanetrack mode: per-lane (value, first-attainment column)
@@ -188,8 +201,19 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
     if quirk or packed:
         seg_bias = seg_bias_ref[...]
         rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
+    if packed:
+        # the h_diag cut fires at SLOT starts only (the diagonal moves
+        # freely across a slot's lane blocks); under quirk, rst also
+        # marks block starts, so recover slot starts from the gmd poison
+        rst_slot = (gmd == neg) if quirk else rst
     if quirk:
+        # packed rows: decay_q inherits the slot bias folded into gmd
+        # (sb[k-1]); it cancels against cs's +sb[k-1] for in-block sources,
+        # and rst covers every block/slot start (incl. the NEG-poisoned
+        # slot-start lanes, whose decay_q is garbage)
         decay_q = -(gmd.astype(jnp.int32) - gapE)
+        qb = qbias_ref[...] if packed else seg_bias
+        qbound = max((pack_bound if packed else L) // 8, 1)
 
     def run_group(jj, bound):
       if packed:
@@ -207,7 +231,7 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             # slot-start lanes are read position 0: no diagonal from the
             # previous slot's read (the F cut is free — gmd is poisoned to
             # NEG at slot starts by the caller)
-            h_shift = jnp.where(rst, zero, h_shift)
+            h_shift = jnp.where(rst_slot, zero, h_shift)
         h_diag = h_shift + sub
         # no 0-clamp on h_tilde: E >= 0 always (its own update clamps), so
         # max(h_diag, E) >= 0 already
@@ -222,11 +246,13 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
         F = _shift_right(cm, 1, neg) + gmd      # no 0-clamp: h_tilde >= 0
         H = jnp.maximum(h_tilde, F)
         if quirk:
-            # lane-block-segmented scan; segments are <= L/8 long (word
-            # tier) so the scan radius is bounded (the bias pushes other
-            # segments out of range, making cross-segment carries inert)
-            cs = _prefix_max(c + seg_bias, L, neg,
-                             bound=max(L // 8, 1)) - seg_bias
+            # lane-block-segmented scan; segments (slot lane-blocks when
+            # packed) are <= bound long so the scan radius is bounded (the
+            # bias pushes other segments out of range, making
+            # cross-segment carries inert: packed rows order candidates
+            # lexicographically by (slot*PACK_BUMP via c, block*QBUMP via
+            # qb), with QBUMP above the slot-local value span)
+            cs = _prefix_max(c + qb, L, neg, bound=qbound) - qb
             F_loc = _shift_right(cs, 1, neg) - decay_q + gapE
             F_loc = jnp.where(rst, 0, jnp.maximum(F_loc, 0))
             h_fp = jnp.maximum(h_tilde, F_loc)
@@ -371,7 +397,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   gate_sub: int | None = None, gate_radii: tuple = (),
                   packed: bool = False,
                   pack_bound: int | None = None, S: int = 1,
-                  lane_off=None):
+                  lane_off=None, qbias=None):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
@@ -394,8 +420,17 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     bump = PACK_BUMP if packed else SEG_BUMP
     seg_bias = seg_id.astype(jnp.int32) * bump  # upcast BEFORE the bias
     seg_prev = jnp.pad(seg_id, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
-    seg_reset = (seg_start.astype(bool)
-                 | (seg_prev != seg_id)).astype(jnp.int32)
+    slot_reset = (seg_start.astype(bool)
+                  | (seg_prev != seg_id)).astype(jnp.int32)
+    seg_reset = slot_reset
+    if packed and qbias is not None:
+        # quirk + packed: the segmented scan resets at every lane-block
+        # start inside a slot, not just at slot starts (the gmd poison
+        # below still keys on slot starts only)
+        qprev = jnp.pad(qbias, ((0, 0), (1, 0)),
+                        constant_values=-1)[:, :-1]
+        seg_reset = (slot_reset.astype(bool)
+                     | (qprev != qbias)).astype(jnp.int32)
     if packed:
         # fold the slot bias into the per-lane affine constants: c arrives
         # pre-biased through dmg, and F's un-bias rides gmd (whose 1-lane
@@ -409,7 +444,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         assert S * PACK_BUMP < -NEG // 16
         dmg = dmg + seg_bias
         gmd = gmd - jnp.pad(seg_bias, ((0, 0), (1, 0)))[:, :-1]
-        gmd = jnp.where(seg_reset > 0, dt(neg), gmd)
+        gmd = jnp.where(slot_reset > 0, dt(neg), gmd)
     vmem = lambda: pl.BlockSpec((B, L), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     if blockmax:
@@ -454,20 +489,26 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         scratch = [pltpu.VMEM((B, L), dt)] * 2
         if gated:
             scratch.append(pltpu.SMEM((1, 1), jnp.int32))
+    in_specs = [
+        pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n1, B, L), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vmem(), vmem(), vmem(), vmem(), vmem(),
+    ]
+    operands = [ref_blocks, idx_blocks, own_blocks, profile.astype(dt),
+                dmg, gmd, maskneg, seg_bias, seg_reset]
+    if quirk and packed:
+        in_specs.append(vmem())
+        operands.append(qbias)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, COL_BLOCK), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((n1, B, L), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            vmem(), vmem(), vmem(), vmem(), vmem(),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -482,8 +523,7 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(ref_blocks, idx_blocks, own_blocks, profile.astype(dt), dmg, gmd,
-      maskneg, seg_bias, seg_reset)
+    )(*operands)
     if blockmax:
         # restore the (B, nblocks*S) layout every consumer expects; this
         # is a cheap HBM pass over an array already COL_BLOCK x smaller
@@ -984,13 +1024,16 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
             jnp.clip(maxcol[:, :R], 0, 32767).astype(jnp.uint16))
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _pack_geometry(so, sl, L: int):
+@functools.partial(jax.jit, static_argnames=("L", "nb"))
+def _pack_geometry(so, sl, L: int, nb: int = 16):
     """Per-lane packed geometry from the compact (n_rows, S) slot tables
     (common.pack_tables): col_mask (lane inside a slot's tier-padded span),
     slot_id (ascending; row tails inherit the last slot, harmless — they
-    are masked), slot_start, and lane_off (offset within the slot, which
-    keeps growing past the last slot like unpacked pad lanes do)."""
+    are masked), slot_start, lane_off (offset within the slot, which
+    keeps growing past the last slot like unpacked pad lanes do), and
+    qseg (the lane-block index within the slot for the quirk's segmented
+    scan: each tier-padded slot is exactly nb blocks of sl/nb lanes,
+    nb = 16 byte tier / 8 word — ref stripe layout src/ssw.c:163-188)."""
     j = jnp.arange(L, dtype=jnp.int32)[None, None, :]       # (1, 1, L)
     o = so[:, :, None]                                       # (Br, S, 1)
     e = o + sl[:, :, None]
@@ -1001,7 +1044,9 @@ def _pack_geometry(so, sl, L: int):
     slot_start = (j == o).any(axis=1)
     off_here = jnp.max(jnp.where(j >= o, o, 0), axis=1)
     lane_off = jnp.arange(L, dtype=jnp.int32)[None, :] - off_here
-    return col_mask, slot_id, slot_start, lane_off
+    sl_here = jnp.take_along_axis(sl, slot_id, axis=1)       # (Br, L)
+    qseg = jnp.clip(lane_off * nb // jnp.maximum(sl_here, 1), 0, nb - 1)
+    return col_mask, slot_id, slot_start, lane_off, qseg
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
@@ -1037,20 +1082,30 @@ def _pack_reconstruct(bv, bc, maxcol, slot_id, lane_off, rl_s, S: int):
 def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
                               gapO: int, gapE: int,
                               max_sub: int | None = None,
-                              valid_len: int | None = None):
+                              valid_len: int | None = None,
+                              quirk: bool = False, word: bool = False):
     """Lane-packed forward pass: several reads per kernel row, each in its
     own contiguous slot of tier-padded DP rows (common.pack_plan).  Only
-    the streaming/blockmax, quirk-off regime — per-read outputs (score,
-    end_ref, end_read, blockmax (B, nblocks)) are bit-identical to
+    the streaming/blockmax regime — per-read outputs (score, end_ref,
+    end_read, blockmax (B, nblocks)) are bit-identical to
     forward_shared_ref on the unpacked layout; the DP inside a slot sees
     exactly the lanes an unpacked row would (slot starts cut h_diag/F, the
     per-slot bias cuts the prefix-max — cross-slot carries are inert).
+
+    quirk (round 4): the lane-block E quirk composes with packing via a
+    second, sub-slot bias level — the quirk's segmented scan sees
+    candidates ordered lexicographically by (slot * PACK_BUMP, block_in_
+    slot * QBUMP), exact while the slot-local value span stays under
+    QBUMP (caller guards: pack_bound*(max_sub+gapE)+gapO < QBUMP).
+    `word` selects the tier's 8-block stripe geometry (quirk only; the
+    uniform-tier batches the quirk path produces — no overflow
+    speculation there — keep nb static).
 
     profile: (n_rows, n1, L) over the PACKED codes (common.pack_codes);
     so/sl/rl_s: (n_rows, S) slot tables; flat_idx: (B,) row*S + slot.
     Always the int32 tier: the slot bias needs value headroom.
     Ref for what one slot computes: the byte/word kernels,
-    src/ssw.c:197-386."""
+    src/ssw.c:197-386 (quirk E-update :288-299)."""
     Br, n1, L = profile.shape
     S = so.shape[1]
     R = ref.shape[0]
@@ -1065,22 +1120,28 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
     # power of two so the compiled-shape set stays small)
     pack_bound = max(int(np.max(np.asarray(sl))), 1)
     pack_bound = 1 << (pack_bound - 1).bit_length()
+    if quirk:
+        assert max_sub is not None
+        assert pack_bound * (max_sub + gapE) + gapO < QBUMP, \
+            "slot-local value span exceeds the quirk block bias separation"
     gate_sub, gate_radii = gate_plan(L, gapO, gapE, max_sub,
                                      pack_bound=pack_bound)
     so_d, sl_d, rl_d = jnp.asarray(so), jnp.asarray(sl), jnp.asarray(rl_s)
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
+    nb = 8 if word else 16
     outs = []
     for lo in range(0, Br, b_opt):
         hi = min(lo + b_opt, Br)
-        col_mask, slot_id, slot_start, lane_off = _pack_geometry(
-            so_d[lo:hi], sl_d[lo:hi], L)
+        col_mask, slot_id, slot_start, lane_off, qseg = _pack_geometry(
+            so_d[lo:hi], sl_d[lo:hi], L, nb)
         maxcol, bv, bc = _forward_call(
             jnp.transpose(profile[lo:hi], (1, 0, 2)), ref_blocks,
             idx_blocks, own_blocks, col_mask.astype(jnp.int32), slot_id,
-            slot_start.astype(jnp.int32), gapO, gapE, quirk=False,
+            slot_start.astype(jnp.int32), gapO, gapE, quirk=quirk,
             use_i16=False, interpret=interpret, blockmax=True,
             gate_sub=gate_sub, gate_radii=gate_radii, packed=True,
-            pack_bound=pack_bound, S=S, lane_off=lane_off)
+            pack_bound=pack_bound, S=S, lane_off=lane_off,
+            qbias=qseg * jnp.int32(QBUMP) if quirk else None)
         outs.append(_pack_reconstruct(bv, bc, maxcol, slot_id, lane_off,
                                       rl_d[lo:hi], S))
     if len(outs) == 1:

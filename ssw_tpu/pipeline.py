@@ -252,9 +252,11 @@ def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
 # Lane packing (round 3): pack several reads into one kernel row as
 # contiguous tier-padded slots (common.pack_plan) — 200bp reads in an
 # L=256 bucket waste 22% of the kernel rate on pad lanes (BENCH.md).
-# Streaming/blockmax + quirk-off regime only (the slot bias needs the
-# quirk's headroom, and the non-blockmax (B, R) maxcol has no per-slot
-# extraction).  SSW_TPU_PACK=0 disables; SSW_TPU_PACK_L pins the packed
+# Streaming/blockmax regime only (the non-blockmax (B, R) maxcol has no
+# per-slot extraction).  Round 4 extends packing to the quirk path
+# (protein/BLOSUM): the quirk's lane-block segmented scan rides a second,
+# sub-slot bias level (pallas_sw.QBUMP), exact while the slot-local value
+# span stays under it.  SSW_TPU_PACK=0 disables; SSW_TPU_PACK_L pins the packed
 # row width (read once at import; 0 = sweep the candidate widths per
 # batch — row width does not change the 32k-lane chunk count the
 # latency-bound column chain sees, but narrower rows waste fewer tail
@@ -697,11 +699,17 @@ def _leaf_start(req: BatchRequest, backend: str, streaming: bool):
     if _counter is not None:
         _counter.add_pairs(read_len[:B], ref_len)
     plan = None
-    if (streaming and not quirk and backend == "pallas"
+    if (streaming and backend == "pallas"
             and os.environ.get("SSW_TPU_PACK", "1") != "0"):
-        plan = _plan_pack(read_len, col_word, Bp, L)
-    if plan is not None:
         from ssw_tpu.ops import pallas_sw
+        plan = _plan_pack(read_len, col_word, Bp, L)
+        if plan is not None and quirk and plan.slot_len.size:
+            # quirk packing (round 4) is exact only while the slot-local
+            # value span stays under the sub-slot block bias QBUMP
+            pb = 1 << (int(plan.slot_len.max()) - 1).bit_length()
+            if pb * (max_sub + req.gapE) + req.gapO >= pallas_sw.QBUMP:
+                plan = None
+    if plan is not None:
         pc = common.pack_codes(plan, reads_padded, n)
         so, sl, rl_s = common.pack_tables(plan, read_len)
         pprof = _prep_packed(jnp.asarray(pc.astype(np.int8)),
@@ -709,7 +717,8 @@ def _leaf_start(req: BatchRequest, backend: str, streaming: bool):
         score_d, er_d, ed_d, mc_d = pallas_sw.forward_shared_ref_packed(
             pprof, ref_codes, so, sl, rl_s,
             plan.row * plan.S + plan.slot, req.gapO, req.gapE,
-            max_sub=max_sub, valid_len=ref_len)
+            max_sub=max_sub, valid_len=ref_len, quirk=quirk,
+            word=bool(word_tier))
     else:
         profile, cm_d, seg_d, ss_d = _prep_device(
             reads_padded.astype(np.int8), read_len, mat_ext, col_word, L,

@@ -37,36 +37,43 @@ def _mk_reads(seed, R, B):
     return ref, reads, read_len
 
 
-def _scan_baseline(ref, reads, read_len, word_rows, gapO, gapE):
+def _scan_baseline(ref, reads, read_len, word_rows, gapO, gapE,
+                   mat=None, quirk=False):
     """Unpacked scan-twin outputs with per-read tier col_masks (the
-    speculative mixed-tier regime the pipeline feeds the kernel)."""
+    speculative mixed-tier regime the pipeline feeds the kernel).  For the
+    quirk path the tier is uniform (no overflow speculation there) and the
+    seg geometry follows it."""
+    mat = _dna_mat() if mat is None else mat
     R = len(ref)
     L = common.bucket_size(
         common.pad_total(int(read_len.max()), word=False), 64)
     rp = common.pad_reads(reads, L, 5)
-    prof = common.build_profile(rp, read_len, common.extend_matrix(
-        _dna_mat()))
+    prof = common.build_profile(rp, read_len, common.extend_matrix(mat))
     gb = common.batch_geometry(read_len, L, word=False)
     gw = common.batch_geometry(read_len, L, word=True)
     col_mask = np.where(word_rows[:, None], gw.col_mask, gb.col_mask)
+    seg_geo = gw if (quirk and word_rows.all()) else gb
     out = scan_sw.forward_shared_ref(
         jnp.asarray(prof), jnp.asarray(ref), jnp.asarray(read_len),
-        jnp.asarray(col_mask), jnp.asarray(gb.seg_id),
-        jnp.asarray(gb.seg_start), gapO, gapE, False)
+        jnp.asarray(col_mask), jnp.asarray(seg_geo.seg_id),
+        jnp.asarray(seg_geo.seg_start), gapO, gapE, quirk)
     return out[:3] + (scan_sw.blockmax_reduce(out[3], R),), rp, L
 
 
-def _packed(ref, rp, read_len, word_rows, gapO, gapE, L_pack, max_slots=64):
+def _packed(ref, rp, read_len, word_rows, gapO, gapE, L_pack, max_slots=64,
+            mat=None, quirk=False):
+    mat = _dna_mat() if mat is None else mat
     slot_len = np.where(word_rows, (read_len + 7) // 8 * 8,
                         (read_len + 15) // 16 * 16).astype(np.int32)
     plan = common.pack_plan(slot_len, L_pack, max_slots=max_slots)
     pc = common.pack_codes(plan, rp, 5)
     so, sl, rl_s = common.pack_tables(plan, read_len)
-    pprof = common.build_profile(pc, None, common.extend_matrix(_dna_mat()))
+    pprof = common.build_profile(pc, None, common.extend_matrix(mat))
     flat_idx = plan.row * plan.S + plan.slot
     got = pallas_sw.forward_shared_ref_packed(
         jnp.asarray(pprof), jnp.asarray(ref), so, sl, rl_s, flat_idx,
-        gapO, gapE, max_sub=2, valid_len=len(ref))
+        gapO, gapE, max_sub=int(np.max(np.abs(mat))), valid_len=len(ref),
+        quirk=quirk, word=bool(word_rows.all() and word_rows.size))
     return got, plan
 
 
@@ -114,6 +121,54 @@ def test_pack_parity_gate_off(monkeypatch):
                                    "blockmax")):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
                                       err_msg=n)
+
+
+def _quirk_mat():
+    """DNA-alphabet matrix with the quirk observable (min < -2*gapE at
+    gapE=1: an adjacent ins+del can beat the substitution it replaces)."""
+    mat = np.zeros((5, 5), np.int8)
+    for i in range(4):
+        for j in range(4):
+            mat[i, j] = 2 if i == j else -4
+    return mat
+
+
+@pytest.mark.parametrize("word", [False, True])
+def test_pack_parity_quirk(word):
+    """Round-4 quirk packing: the lane-block segmented scan rides the
+    sub-slot QBUMP bias; per-read outputs must equal the unpacked scan
+    baseline with quirk=True on both tiers (ref quirk E-update:
+    src/ssw.c:288-299)."""
+    R = 1024
+    ref, reads, read_len = _mk_reads(19, R, 12)
+    word_rows = np.full(12, word)
+    want, rp, _ = _scan_baseline(ref, reads, read_len, word_rows, 3, 1,
+                                 mat=_quirk_mat(), quirk=True)
+    got, plan = _packed(ref, rp, read_len, word_rows, 3, 1, 512,
+                        mat=_quirk_mat(), quirk=True)
+    assert plan.S > 1
+    for w, g, n in zip(want, got, ("score", "end_ref", "end_read",
+                                   "blockmax")):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                      err_msg=n)
+
+
+def test_pack_quirk_span_guard():
+    """The QBUMP exactness guard rejects slot spans whose value range
+    could cross the block bias separation."""
+    rng = np.random.default_rng(5)
+    R = 512
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    reads = [rng.integers(0, 4, 200).astype(np.int32) for _ in range(4)]
+    read_len = np.full(4, 200, np.int32)
+    rp = common.pad_reads(reads, 256, 5)
+    big = np.zeros((5, 5), np.int8)
+    for i in range(4):
+        for j in range(4):
+            big[i, j] = 120 if i == j else -120  # span >> QBUMP
+    with pytest.raises(AssertionError):
+        _packed(ref, rp, read_len, np.zeros(4, bool), 3, 1, 512,
+                mat=big, quirk=True)
 
 
 def test_pack_plan_properties():
@@ -185,6 +240,42 @@ def test_pack_pipeline_parity(monkeypatch):
     read_len = np.int32([len(r) for r in reads])
     assert pipeline._plan_pack(read_len, np.zeros(40, bool), 64,
                                256) is not None
+    packed = pipeline.align_batch(req, "pallas")
+    for i, (a, b) in enumerate(zip(base, packed)):
+        assert vars(a) == vars(b), (i, vars(a), vars(b))
+
+
+def test_pack_pipeline_parity_quirk(monkeypatch):
+    """Full pipeline on the QUIRK path (protein-style matrix) with packing
+    on vs off: every result field identical, including word-tier rerun
+    reads and suboptimal/begin positions (round-4 quirk packing)."""
+    from ssw_tpu import pipeline
+
+    monkeypatch.setenv("SSW_TPU_STREAM_SUBOPT", "1")
+    monkeypatch.setattr(pipeline, "PACK_L", 512)
+    rng = np.random.default_rng(47)
+    R = 2048
+    ref = rng.integers(0, 4, R).astype(np.int32)
+    reads = []
+    for i in range(32):
+        ln = int(rng.integers(30, 220))
+        if i % 2 == 0:
+            off = int(rng.integers(0, R - ln))
+            rd = ref[off:off + ln].copy()
+            m = rng.random(ln) < 0.07
+            rd[m] = rng.integers(0, 4, int(m.sum()))
+        else:
+            rd = rng.integers(0, 4, ln)
+        reads.append(rd.astype(np.int32))
+    req = pipeline.BatchRequest(
+        reads=reads, ref=ref, mat=_quirk_mat(), gapO=3, gapE=1, flag=0x0F,
+        mask_len=[max(len(r) // 2, 15) for r in reads])
+    assert pipeline.needs_quirk(req.mat, req.gapE)
+
+    monkeypatch.setenv("SSW_TPU_PACK", "0")
+    base = pipeline.align_batch(req, "pallas")
+    assert any(a.flag == 0 and a.score1 >= 255 for a in base)  # word tier
+    monkeypatch.setenv("SSW_TPU_PACK", "1")
     packed = pipeline.align_batch(req, "pallas")
     for i, (a, b) in enumerate(zip(base, packed)):
         assert vars(a) == vars(b), (i, vars(a), vars(b))
