@@ -364,29 +364,28 @@ def _second_best_streaming(blockmax_d, end_ref, mask_len_p, word, ref_len,
     s2, hasA, hasP, hasB, firstP_i, bstar = subopt.compose_window(
         blockmax_d, mc_win, jnp.asarray(ws), jnp.asarray(e),
         jnp.asarray(ml), word_d, ref_len)
-    packed = np.asarray(jnp.stack(
-        [s2, hasA.astype(jnp.int32), hasP.astype(jnp.int32),
-         hasB.astype(jnp.int32), firstP_i, bstar]))
-    s2_h, hasA_h, hasP_h, hasB_h, firstP_h, bstar_h = packed
 
     # resolve the first-attaining column of block-region winners with a
-    # second bounded re-run (run unconditionally: static shapes, tiny)
-    ws2 = np.maximum(bstar_h * subopt.BM - D, 0).astype(np.int32)
-    refw2 = subopt.gather_windows(ref_ext_dev, jnp.asarray(ws2), Wb2)
+    # second bounded re-run (run unconditionally: static shapes, tiny).
+    # Everything stays ON DEVICE — round 4 removed the mid-composition
+    # download that made the device queue drain while the host computed
+    # ws2 (one stacked transfer at the end instead of two syncs; the
+    # second re-run pipelines right behind the first in the queue).
+    ws2 = jnp.maximum(bstar * subopt.BM - D, 0).astype(jnp.int32)
+    refw2 = subopt.gather_windows(ref_ext_dev, ws2, Wb2)
     mc2 = rev_fn(prof_s, refw2, rl_d, cm_s, seg_s, ss_s, gapO, gapE,
                  quirk, emit_maxcol=True)[3]
-    fc = np.asarray(subopt.resolve_block(
-        mc2, jnp.asarray(ws2), jnp.asarray(bstar_h.astype(np.int32)),
-        jnp.asarray(s2_h), ref_len))
+    fc = subopt.resolve_block(mc2, ws2, bstar, s2, ref_len)
 
     # ordered-region precedence: blocks before the window, then the
     # partial zone, then blocks after (matches the full scan's first-index
     # tie-break)
-    ref_end2 = np.where(hasA_h > 0, fc,
-                        np.where(hasP_h > 0, firstP_h,
-                                 np.where(hasB_h > 0, fc, 0)))
-    ref_end2 = np.where(s2_h > 0, ref_end2, 0)
-    return s2_h.astype(np.int32), ref_end2.astype(np.int32)
+    ref_end2 = jnp.where(hasA, fc,
+                         jnp.where(hasP, firstP_i,
+                                   jnp.where(hasB, fc, 0)))
+    ref_end2 = jnp.where(s2 > 0, ref_end2, 0)
+    packed = np.asarray(jnp.stack([s2, ref_end2]))
+    return packed[0].astype(np.int32), packed[1].astype(np.int32)
 
 
 def pick_backend(backend: str) -> str:

@@ -18,24 +18,35 @@ with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as tf:
 
 from ssw_tpu import cli, pipeline, profiling
 
-warm = io.StringIO()
-with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as tw:
-    tw.writelines(lines[: 4 * 64])
-cli.main(["-c", "-s", "-h", "bench_data/10M.fa", tw.name], out=warm, err=warm)
-os.unlink(tw.name)
 
-counter = profiling.GcupsCounter()
-out, err = io.StringIO(), io.StringIO()
-t0 = time.perf_counter()
-with pipeline.profiled(counter):
-    rc = cli.main(["-c", "-s", "-h", "bench_data/10M.fa", path], out=out,
-                  err=err)
-dt = time.perf_counter() - t0
+def one_run(label):
+    """One full CLI run over the 1000-read workload.  The first call in a
+    process pays the one-time costs (compile-cache load for these shapes,
+    the 10 Mbp device target upload) — report it as `cold`; the second,
+    identical-shape call is the steady-state `warm` number (a 64-read
+    warm-up is NOT enough: it compiles different batch shapes, which put
+    ~80 s of first-call overhead inside the round-3 measured window)."""
+    counter = profiling.GcupsCounter()
+    out, err = io.StringIO(), io.StringIO()
+    t0 = time.perf_counter()
+    with pipeline.profiled(counter):
+        rc = cli.main(["-c", "-s", "-h", "bench_data/10M.fa", path],
+                      out=out, err=err)
+    dt = time.perf_counter() - t0
+    n = sum(1 for l in out.getvalue().splitlines()
+            if l and not l.startswith("@"))
+    print({"run": label, "rc": rc, "reads": N_READS, "records": n,
+           "seconds": round(dt, 1),
+           "reads_per_s": round(N_READS / dt, 2),
+           "phases": {k: round(v, 2) for k, v in counter.seconds.items()},
+           "gcups_forward": round(counter.gcups("forward"), 2),
+           "peak_rss_gb": round(
+               resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6,
+               2)}, flush=True)
+    return out.getvalue()
+
+
+sam_cold = one_run("cold")
+sam_warm = one_run("warm")
+assert sam_cold == sam_warm  # byte-stable across runs
 os.unlink(path)
-n = sum(1 for l in out.getvalue().splitlines() if l and not l.startswith("@"))
-print({"rc": rc, "reads": N_READS, "records": n, "seconds": round(dt, 1),
-       "reads_per_s": round(N_READS / dt, 2),
-       "phases": {k: round(v, 2) for k, v in counter.seconds.items()},
-       "gcups_forward": round(counter.gcups("forward"), 2),
-       "peak_rss_gb": round(
-           resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)})
