@@ -127,16 +127,27 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                     blockmax: bool = False, gate_sub: int | None = None,
                     gate_radii: tuple = (),
                     packed: bool = False, pack_bound: int | None = None,
-                    S: int = 1):
+                    S: int = 1, dual: bool = False):
     block = pl.program_id(0)
     neg = dt(NEG16 if dt == jnp.int16 else NEG)
     neg_i = NEG16 if dt == jnp.int16 else NEG
     gate = gate_sub is not None and bool(gate_radii)
+    assert not (dual and quirk)  # dual-tier rests on tier-independent DP
 
     if quirk and packed:
         # extra input: per-lane block bias (qseg * QBUMP) for the quirk's
         # segmented scan — seg_bias_ref keeps the slot id (extraction)
         qbias_ref, *refs = refs
+        refs = tuple(refs)
+    if dual:
+        # extra input: word-tier validity (subset of col_mask's byte-tier
+        # span).  The blockmax merge emits BOTH tiers' per-slot maxima in
+        # one pass — the only tier-dependent observable when the quirk is
+        # off is which pad rows feed maxColumn (ref: the 16- vs 8-lane
+        # stripe padding, src/ssw.c:163-188 vs :388-410), so one extra
+        # masked reduce per 256 columns replaces the whole word-geometry
+        # rerun of might-overflow reads (BENCH.md round 4)
+        wmask_ref, *refs = refs
         refs = tuple(refs)
 
     enc = blockmax and dt != jnp.int16
@@ -198,6 +209,8 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                                     jnp.int32(0))
         else:
             rv_ref[...] = jnp.where(invalid, dt(-neg_i), neg)
+        if dual:
+            wm = wmask_ref[...] > 0  # loop-invariant word-tier validity
     if quirk or packed:
         seg_bias = seg_bias_ref[...]
         rst = seg_reset_ref[...] > 0  # loop-invariant: hoisted compare
@@ -369,16 +382,34 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
             # per-slot block maxima: S masked reduces per 256 columns
             # (~5*S/256 vector ops per column; the pack planner caps S).
             # Slots are identified by their bias value — no extra input.
+            # dual: channels [S, 2S) carry the word-tier (wm-restricted)
+            # maxima of the same slots.
             rv32 = rv.astype(jnp.int32)
+            S2 = 2 * S if dual else S
             lane_s = jax.lax.broadcasted_iota(
-                jnp.int32, (rv.shape[0], S), 1)
+                jnp.int32, (rv.shape[0], S2), 1)
             for s in range(S):
-                mS = jnp.max(jnp.where(seg_bias == s * PACK_BUMP, rv32,
-                                       jnp.int32(NEG)),
+                in_slot = seg_bias == s * PACK_BUMP
+                mS = jnp.max(jnp.where(in_slot, rv32, jnp.int32(NEG)),
                              axis=1, keepdims=True)
                 maxcol_ref[0] = jnp.where(lane_s == s,
                                           jnp.maximum(mS, 0),
                                           maxcol_ref[0])
+                if dual:
+                    mW = jnp.max(jnp.where(in_slot & wm, rv32,
+                                           jnp.int32(NEG)),
+                                 axis=1, keepdims=True)
+                    maxcol_ref[0] = jnp.where(lane_s == S + s,
+                                              jnp.maximum(mW, 0),
+                                              maxcol_ref[0])
+        elif dual:
+            rv32 = rv.astype(jnp.int32)
+            mb = jnp.maximum(jnp.max(rv32, axis=1, keepdims=True), 0)
+            mw = jnp.maximum(
+                jnp.max(jnp.where(wm, rv32, jnp.int32(NEG)), axis=1,
+                        keepdims=True), 0)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (rv.shape[0], 2), 1)
+            maxcol_ref[0] = jnp.where(lane2 == 0, mb, mw)
         else:
             maxcol_ref[0] = jnp.maximum(
                 jnp.max(rv.astype(jnp.int32), axis=1, keepdims=True),
@@ -389,7 +420,8 @@ def _forward_kernel(ref_ref,           # SMEM (1, 1, COL_BLOCK) ref codes
                                               "use_i16", "interpret",
                                               "blockmax", "gate_sub",
                                               "gate_radii",
-                                              "packed", "pack_bound", "S"))
+                                              "packed", "pack_bound", "S",
+                                              "dual"))
 def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   seg_id, seg_start, gapO: int, gapE: int,
                   quirk: bool = True, use_i16: bool = False,
@@ -397,17 +429,19 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
                   gate_sub: int | None = None, gate_radii: tuple = (),
                   packed: bool = False,
                   pack_bound: int | None = None, S: int = 1,
-                  lane_off=None, qbias=None):
+                  lane_off=None, qbias=None, dual: bool = False,
+                  wmask=None):
     n1, B, L = profile.shape
     nblocks = ref_blocks.shape[0]
     dt = jnp.int16 if use_i16 else jnp.int32
     neg = NEG16 if use_i16 else NEG
     gated = gate_sub is not None and bool(gate_radii)
+    S2 = 2 * S if dual else S
     kernel = functools.partial(_forward_kernel, gapO=gapO, gapE=gapE, L=L,
                                quirk=quirk, dt=dt, blockmax=blockmax,
                                gate_radii=gate_radii,
                                gate_sub=gate_sub, packed=packed,
-                               pack_bound=pack_bound, S=S)
+                               pack_bound=pack_bound, S=S, dual=dual)
     if lane_off is None:
         decay = (jnp.arange(L, dtype=jnp.int32) * gapE)[None, :]
         decay = jnp.broadcast_to(decay, (B, L))
@@ -456,12 +490,12 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         # and (B, S) blocks of a (B, nblocks*S) array satisfy neither for
         # S < 128 — (1, B, S) blocks of (nblocks, B, S) trivially do.
         out_shape = (
-            jax.ShapeDtypeStruct((nblocks, B, S), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, B, S2), jnp.int32),
             jax.ShapeDtypeStruct((B, L), dt),
             jax.ShapeDtypeStruct((B, L), jnp.int32),
         )
         out_specs = (
-            pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, B, S2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             vmem(), vmem(),
         )
@@ -505,6 +539,9 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
     if quirk and packed:
         in_specs.append(vmem())
         operands.append(qbias)
+    if dual:
+        in_specs.append(vmem())
+        operands.append(wmask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblocks,),
@@ -525,10 +562,10 @@ def _forward_call(profile, ref_blocks, idx_blocks, own_blocks, col_mask,
         interpret=interpret,
     )(*operands)
     if blockmax:
-        # restore the (B, nblocks*S) layout every consumer expects; this
+        # restore the (B, nblocks*S2) layout every consumer expects; this
         # is a cheap HBM pass over an array already COL_BLOCK x smaller
         # than the per-column maxima it replaces
-        mc = jnp.transpose(res[0], (1, 0, 2)).reshape(B, nblocks * S)
+        mc = jnp.transpose(res[0], (1, 0, 2)).reshape(B, nblocks * S2)
         res = (mc,) + res[1:]
     return res
 
@@ -665,7 +702,7 @@ OPT_LANES = 32768
 def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
                        gapO: int, gapE: int, quirk: bool = True,
                        max_sub: int | None = None, blockmax: bool = False,
-                       valid_len: int | None = None):
+                       valid_len: int | None = None, wmask=None):
     """Drop-in equivalent of scan_sw.forward_shared_ref running the Pallas
     kernel.  profile here is (B, n1, L) like the scan path; transposed and
     re-blocked internally.  max_sub = max|substitution score| enables the
@@ -676,7 +713,13 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     bounded-memory streaming suboptimal-scan input.  valid_len gates which
     columns contribute (i < valid_len; defaults to R).  Scores/ends are
     identical either way (padded columns can never strictly exceed the
-    running max)."""
+    running max).
+
+    wmask (round 4, blockmax + quirk-off only): word-tier validity masks;
+    col_mask must then be the BYTE-tier (superset) masks, and the maxcol
+    output becomes (B, 2, nblk) — both tiers' block maxima from ONE pass
+    (tier affects only which pad rows feed maxColumn when the quirk is
+    off), replacing the word-geometry rerun of might-overflow reads."""
     B, n1, L = profile.shape
     R = ref.shape[0]
     Rp = (R + COL_BLOCK - 1) // COL_BLOCK * COL_BLOCK
@@ -691,6 +734,8 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
     interpret = jax.devices()[0].platform == "cpu"
     use_i16 = i16_exact(L, gapO, gapE, max_sub, quirk) and _i16_supported()
     gate_sub, gate_radii = gate_plan(L, gapO, gapE, max_sub)
+    dual = wmask is not None
+    assert not (dual and (quirk or not blockmax))
 
     b_opt = max(8, (OPT_LANES // max(L, 1)) // 8 * 8)
     outs = []
@@ -718,7 +763,8 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
             jnp.transpose(prof, (1, 0, 2)), ref_blocks, idx_blocks,
             own_blocks, take(col_mask, 0), take(seg_id, 0),
             take(seg_start, 1), gapO, gapE, quirk, use_i16, interpret,
-            blockmax, gate_sub, gate_radii)
+            blockmax, gate_sub, gate_radii, dual=dual,
+            wmask=take(wmask, 0).astype(jnp.int32) if dual else None)
         # finalize like the scan path (padded rows sliced away)
         j = jnp.arange(L, dtype=jnp.int32)[None, :]
         rl = read_len[lo:hi]
@@ -738,7 +784,12 @@ def forward_shared_ref(profile, ref, read_len, col_mask, seg_id, seg_start,
                               axis=1)
             end_ref = jnp.where(gmax[:, 0] > 0, end_ref, -1)
             hit = is_g & (bc == end_ref[:, None]) & (j < rl[:, None])
-            mc_out = maxcol[:Bc]
+            if dual:
+                # (B, nblk*2) interleaved channels -> (B, 2, nblk)
+                nblk = maxcol.shape[1] // 2
+                mc_out = maxcol[:Bc].reshape(Bc, nblk, 2).transpose(0, 2, 1)
+            else:
+                mc_out = maxcol[:Bc]
         else:
             maxcol, gmax, end_ref, h_best = res
             gmax = gmax[:Bc]
@@ -1025,15 +1076,17 @@ def forward_shared_ref_gated(profile, ref, idxs, owned, read_len, col_mask,
 
 
 @functools.partial(jax.jit, static_argnames=("L", "nb"))
-def _pack_geometry(so, sl, L: int, nb: int = 16):
+def _pack_geometry(so, sl, rl, L: int, nb: int = 16):
     """Per-lane packed geometry from the compact (n_rows, S) slot tables
     (common.pack_tables): col_mask (lane inside a slot's tier-padded span),
     slot_id (ascending; row tails inherit the last slot, harmless — they
     are masked), slot_start, lane_off (offset within the slot, which
-    keeps growing past the last slot like unpacked pad lanes do), and
-    qseg (the lane-block index within the slot for the quirk's segmented
+    keeps growing past the last slot like unpacked pad lanes do), qseg
+    (the lane-block index within the slot for the quirk's segmented
     scan: each tier-padded slot is exactly nb blocks of sl/nb lanes,
-    nb = 16 byte tier / 8 word — ref stripe layout src/ssw.c:163-188)."""
+    nb = 16 byte tier / 8 word — ref stripe layout src/ssw.c:163-188),
+    and wcol (the WORD-tier validity span inside byte-sized slots, for
+    the dual-tier blockmax emission)."""
     j = jnp.arange(L, dtype=jnp.int32)[None, None, :]       # (1, 1, L)
     o = so[:, :, None]                                       # (Br, S, 1)
     e = o + sl[:, :, None]
@@ -1046,11 +1099,14 @@ def _pack_geometry(so, sl, L: int, nb: int = 16):
     lane_off = jnp.arange(L, dtype=jnp.int32)[None, :] - off_here
     sl_here = jnp.take_along_axis(sl, slot_id, axis=1)       # (Br, L)
     qseg = jnp.clip(lane_off * nb // jnp.maximum(sl_here, 1), 0, nb - 1)
-    return col_mask, slot_id, slot_start, lane_off, qseg
+    rl_here = jnp.take_along_axis(rl, slot_id, axis=1)
+    wcol = col_mask & (lane_off < (rl_here + 7) // 8 * 8)
+    return col_mask, slot_id, slot_start, lane_off, qseg, wcol
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
-def _pack_reconstruct(bv, bc, maxcol, slot_id, lane_off, rl_s, S: int):
+@functools.partial(jax.jit, static_argnames=("S", "dual"))
+def _pack_reconstruct(bv, bc, maxcol, slot_id, lane_off, rl_s, S: int,
+                      dual: bool = False):
     """Per-slot outputs from the packed kernel's per-lane trackers: the
     slot-restricted mirror of forward_shared_ref's blockmax
     reconstruction (global max = earliest first-attainment among lanes
@@ -1074,8 +1130,9 @@ def _pack_reconstruct(bv, bc, maxcol, slot_id, lane_off, rl_s, S: int):
     cand = jnp.where(hit, lo, L)
     end_read = jnp.min(cand, axis=2)
     end_read = jnp.where(end_read == L, rl_s - 1, end_read)
-    nblk = maxcol.shape[1] // S
-    mc = maxcol.reshape(Br, nblk, S).transpose(0, 2, 1)     # (Br, S, nblk)
+    S2 = 2 * S if dual else S
+    nblk = maxcol.shape[1] // S2
+    mc = maxcol.reshape(Br, nblk, S2).transpose(0, 2, 1)    # (Br, S2, nblk)
     return gmax, end_ref, end_read, mc
 
 
@@ -1083,7 +1140,8 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
                               gapO: int, gapE: int,
                               max_sub: int | None = None,
                               valid_len: int | None = None,
-                              quirk: bool = False, word: bool = False):
+                              quirk: bool = False, word: bool = False,
+                              dual: bool = False):
     """Lane-packed forward pass: several reads per kernel row, each in its
     own contiguous slot of tier-padded DP rows (common.pack_plan).  Only
     the streaming/blockmax regime — per-read outputs (score, end_ref,
@@ -1120,6 +1178,7 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
     # power of two so the compiled-shape set stays small)
     pack_bound = max(int(np.max(np.asarray(sl))), 1)
     pack_bound = 1 << (pack_bound - 1).bit_length()
+    assert not (dual and quirk)
     if quirk:
         assert max_sub is not None
         assert pack_bound * (max_sub + gapE) + gapO < QBUMP, \
@@ -1132,8 +1191,8 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
     outs = []
     for lo in range(0, Br, b_opt):
         hi = min(lo + b_opt, Br)
-        col_mask, slot_id, slot_start, lane_off, qseg = _pack_geometry(
-            so_d[lo:hi], sl_d[lo:hi], L, nb)
+        col_mask, slot_id, slot_start, lane_off, qseg, wcol = \
+            _pack_geometry(so_d[lo:hi], sl_d[lo:hi], rl_d[lo:hi], L, nb)
         maxcol, bv, bc = _forward_call(
             jnp.transpose(profile[lo:hi], (1, 0, 2)), ref_blocks,
             idx_blocks, own_blocks, col_mask.astype(jnp.int32), slot_id,
@@ -1141,9 +1200,10 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
             use_i16=False, interpret=interpret, blockmax=True,
             gate_sub=gate_sub, gate_radii=gate_radii, packed=True,
             pack_bound=pack_bound, S=S, lane_off=lane_off,
-            qbias=qseg * jnp.int32(QBUMP) if quirk else None)
+            qbias=qseg * jnp.int32(QBUMP) if quirk else None,
+            dual=dual, wmask=wcol.astype(jnp.int32) if dual else None)
         outs.append(_pack_reconstruct(bv, bc, maxcol, slot_id, lane_off,
-                                      rl_d[lo:hi], S))
+                                      rl_d[lo:hi], S, dual=dual))
     if len(outs) == 1:
         gmax, end_ref, end_read, mc = outs[0]
     else:
@@ -1152,5 +1212,14 @@ def forward_shared_ref_packed(profile, ref, so, sl, rl_s, flat_idx,
             for k in range(4))
     fi = jnp.asarray(flat_idx)
     nblk = mc.shape[2]
+    if dual:
+        # per-read gather of BOTH tier channels: mc is (Br, 2S, nblk) with
+        # byte channels [0, S) and word channels [S, 2S)
+        row, sl_i = fi // S, fi % S
+        flat = mc.reshape(Br * 2 * S, nblk)
+        mc_res = jnp.stack([flat[row * 2 * S + sl_i],
+                            flat[row * 2 * S + S + sl_i]], axis=1)
+    else:
+        mc_res = mc.reshape(Br * S, nblk)[fi]
     return (gmax.reshape(-1)[fi], end_ref.reshape(-1)[fi],
-            end_read.reshape(-1)[fi], mc.reshape(Br * S, nblk)[fi])
+            end_read.reshape(-1)[fi], mc_res)

@@ -293,6 +293,14 @@ def _plan_pack(read_len, col_word, Bp: int, L: int):
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def _word_mask(read_len, L: int):
+    """Word-tier validity (8-lane stripe padding) for the dual-tier
+    blockmax emission; col_mask then carries the byte-tier superset."""
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return (j < (read_len[:, None] + 7) // 8 * 8).astype(jnp.int32)
+
+
 @jax.jit
 def _prep_packed(codes, mat_ext):
     """Packed profile ON DEVICE from int8 packed read codes (the host link
@@ -608,7 +616,7 @@ class _LeafState:
     __slots__ = (
         "req", "backend", "streaming", "B", "Bp", "n", "bias", "ref_len",
         "mask_len_p", "read_len", "L", "mat_ext", "reads_padded", "quirk",
-        "max_sub", "word_tier", "might", "ref_codes", "ref_ext_dev",
+        "max_sub", "word_tier", "might", "dual", "ref_codes", "ref_ext_dev",
         "D", "Wb", "Wb2", "fwd_d", "sub_d", "mc_d",
         "score", "end_ref", "end_read", "score2", "ref_end2", "word",
         "null_mask", "fin")
@@ -693,7 +701,15 @@ def _leaf_start(req: BatchRequest, backend: str, streaming: bool):
     might = np.zeros(Bp, dtype=bool)
     if req.score_size == 2 and not quirk:
         might = read_len.astype(np.int64) * max_sub + st.bias >= 255
-    col_word = np.full(Bp, word_tier) | might
+    # dual-tier blockmax (round 4): when any read might overflow the byte
+    # tier, run ONE pass with byte-span masks and emit BOTH tiers' block
+    # maxima — the word-geometry rerun of might-but-didn't reads (and the
+    # maxcol fix of did-overflow reads) collapses into a channel select
+    # at mid.  The DP itself is tier-independent when the quirk is off.
+    dual = st.dual = bool(streaming and not quirk and backend == "pallas"
+                          and not word_tier and might.any())
+    col_word = np.zeros(Bp, bool) if dual else (np.full(Bp, word_tier)
+                                                | might)
     st.might = might
     if _counter is not None:
         _counter.add_pairs(read_len[:B], ref_len)
@@ -717,16 +733,26 @@ def _leaf_start(req: BatchRequest, backend: str, streaming: bool):
             pprof, ref_codes, so, sl, rl_s,
             plan.row * plan.S + plan.slot, req.gapO, req.gapE,
             max_sub=max_sub, valid_len=ref_len, quirk=quirk,
-            word=bool(word_tier))
+            word=bool(word_tier), dual=dual)
     else:
         profile, cm_d, seg_d, ss_d = _prep_device(
             reads_padded.astype(np.int8), read_len, mat_ext, col_word, L,
             word_tier)
         geo = common.BatchGeometry(L, read_len, cm_d, seg_d, ss_d)
-        score_d, er_d, ed_d, mc_d = _forward(
-            jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE,
-            quirk, backend, max_sub, blockmax=streaming,
-            valid_len=ref_len)
+        if dual:
+            from ssw_tpu.ops import pallas_sw
+            score_d, er_d, ed_d, mc_d = pallas_sw.forward_shared_ref(
+                jnp.asarray(profile), ref_codes,
+                jnp.asarray(geo.read_len), jnp.asarray(geo.col_mask),
+                jnp.asarray(geo.seg_id), jnp.asarray(geo.seg_start),
+                req.gapO, req.gapE, quirk, max_sub=max_sub,
+                blockmax=True, valid_len=ref_len,
+                wmask=_word_mask(jnp.asarray(read_len), L))
+        else:
+            score_d, er_d, ed_d, mc_d = _forward(
+                jnp.asarray(profile), ref_codes, geo, req.gapO, req.gapE,
+                quirk, backend, max_sub, blockmax=streaming,
+                valid_len=ref_len)
     st.fwd_d = jnp.stack([score_d, er_d, ed_d])
     if streaming:
         st.mc_d = mc_d  # (Bp, nblk) blockmax, consumed at mid
@@ -769,8 +795,14 @@ def _leaf_mid(st: _LeafState):
         # re-run to fix maxColumn (score/ends are already exact):
         #   quirk on  -> word-tier reads re-run with word geometry (the
         #                quirk makes the whole DP tier-dependent)
-        #   quirk off -> might-but-didn't reads re-run with byte rows
-        rerun = need_word if st.quirk else (st.might & ~need_word)
+        #   quirk off -> might-but-didn't reads re-run with byte rows —
+        #                UNLESS the dual-tier blockmax already emitted
+        #                both tiers' maxima (round 4): then no read ever
+        #                re-runs; mid just selects the final tier channel
+        if st.dual:
+            rerun = np.zeros(Bp, dtype=bool)
+        else:
+            rerun = need_word if st.quirk else (st.might & ~need_word)
         rerun_word = bool(st.quirk)
         if rerun.any():
             idx = np.nonzero(rerun)[0]
@@ -812,6 +844,11 @@ def _leaf_mid(st: _LeafState):
         if st.streaming:
             bm_d = st.mc_d  # (Bp, nblk) int32, on device
             st.mc_d = None
+            if st.dual:
+                # (Bp, 2, nblk): channel 0 = byte-tier maxima, 1 = word;
+                # pick each read's FINAL tier — this replaces the rerun
+                bm_d = jnp.where(jnp.asarray(word)[:, None],
+                                 bm_d[:, 1], bm_d[:, 0])
             if word_sub is not None:
                 idx, k, er_r, mc_r, ml_r, rerun_word = word_sub
                 # splice the rerun tier's per-block maxima in: `word` is

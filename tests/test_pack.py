@@ -281,6 +281,63 @@ def test_pack_pipeline_parity_quirk(monkeypatch):
         assert vars(a) == vars(b), (i, vars(a), vars(b))
 
 
+def test_dual_tier_blockmax_parity():
+    """Round-4 dual-tier emission: ONE byte-mask pass returns both tiers'
+    block maxima; each must equal the scan baseline run with that tier's
+    col_mask (the only tier-dependent observable when the quirk is off is
+    maxColumn's pad-row inclusion).  Covers unpacked and packed."""
+    R = 1024
+    ref, reads, read_len = _mk_reads(53, R, 10)
+    rp = common.pad_reads(reads, 256, 5)
+    mat_ext = common.extend_matrix(_dna_mat())
+    prof = common.build_profile(rp, read_len, mat_ext)
+    gb = common.batch_geometry(read_len, 256, word=False)
+    gw = common.batch_geometry(read_len, 256, word=True)
+
+    def scan_tier(word):
+        g = gw if word else gb
+        out = scan_sw.forward_shared_ref(
+            jnp.asarray(prof), jnp.asarray(ref), jnp.asarray(read_len),
+            jnp.asarray(g.col_mask), jnp.asarray(gb.seg_id),
+            jnp.asarray(gb.seg_start), 3, 1, False)
+        return out[:3] + (scan_sw.blockmax_reduce(out[3], R),)
+
+    wantB, wantW = scan_tier(False), scan_tier(True)
+    got = pallas_sw.forward_shared_ref(
+        jnp.asarray(prof), jnp.asarray(ref), jnp.asarray(read_len),
+        jnp.asarray(gb.col_mask), jnp.asarray(gb.seg_id),
+        jnp.asarray(gb.seg_start), 3, 1, False, max_sub=2, blockmax=True,
+        valid_len=R, wmask=jnp.asarray(gw.col_mask.astype(np.int32)))
+    for k, n in enumerate(("score", "end_ref", "end_read")):
+        np.testing.assert_array_equal(np.asarray(wantB[k]),
+                                      np.asarray(got[k]), err_msg=n)
+    mc = np.asarray(got[3])  # (B, 2, nblk)
+    np.testing.assert_array_equal(np.asarray(wantB[3]), mc[:, 0],
+                                  err_msg="byte blockmax")
+    np.testing.assert_array_equal(np.asarray(wantW[3]), mc[:, 1],
+                                  err_msg="word blockmax")
+
+    # packed dual: same two channels per read
+    word_rows = np.zeros(10, bool)
+    slot_len = ((read_len + 15) // 16 * 16).astype(np.int32)
+    plan = common.pack_plan(slot_len, 512)
+    pc = common.pack_codes(plan, rp, 5)
+    so, sl, rl_s = common.pack_tables(plan, read_len)
+    pprof = common.build_profile(pc, None, mat_ext)
+    gotp = pallas_sw.forward_shared_ref_packed(
+        jnp.asarray(pprof), jnp.asarray(ref), so, sl, rl_s,
+        plan.row * plan.S + plan.slot, 3, 1, max_sub=2, valid_len=R,
+        dual=True)
+    for k, n in enumerate(("score", "end_ref", "end_read")):
+        np.testing.assert_array_equal(np.asarray(wantB[k]),
+                                      np.asarray(gotp[k]), err_msg=n)
+    mcp = np.asarray(gotp[3])
+    np.testing.assert_array_equal(np.asarray(wantB[3]), mcp[:, 0],
+                                  err_msg="packed byte blockmax")
+    np.testing.assert_array_equal(np.asarray(wantW[3]), mcp[:, 1],
+                                  err_msg="packed word blockmax")
+
+
 def test_pack_degenerate_reads():
     """Zero-length and 1-base reads: zero-length slots occupy no lanes and
     must come back as score 0 / end_ref -1 / end_read rl-1, exactly like
