@@ -113,10 +113,14 @@ def _restart_margin(L: int, mat: np.ndarray, gapO: int, gapE: int) -> int:
 # Minimum target columns for the Pallas backend to prefer the streaming
 # suboptimal scan even when the (B, R) maxcol buffer would fit: in blockmax
 # mode the kernel runs per-lane trackers (no per-column cross-lane reduce,
-# ~17% of kernel time — BENCH.md), and the price — two bounded per-read
-# window re-runs of ~1-2k columns each — amortizes once the target passes
-# a few tens of thousands of columns.
-STREAM_MIN_COLS = 32768
+# ~17% of kernel time — BENCH.md), but the two bounded per-read window
+# re-runs carry a ~0.5-0.6 s fixed dispatch cost per leaf.  MEASURED
+# crossover (tools/sweep_boundaries.py, 2048x100bp reads, v5e, outputs
+# identical): stream/materialized warm-wall ratio 0.48 @16k, 0.52 @32k,
+# 0.75 @131k, 0.87 @262k, 1.01 @524k, 1.11 @1M -> the round-3 analytic
+# 32768 was ~16x too low; memory-forced streaming (chromosome scale)
+# engages via the sweet-spot rule in _use_streaming regardless.
+STREAM_MIN_COLS = 524288
 
 
 def _use_streaming(Rp_est: int, L_est: int, backend: str = "scan") -> bool:
