@@ -65,7 +65,8 @@ def _drive(req, backend):
     return pipeline.align_batch_finish(pend)
 
 
-@pytest.mark.parametrize("backend", ["scan", "pallas"])
+@pytest.mark.parametrize("backend", [
+    "scan", pytest.param("pallas", marks=pytest.mark.nightly)])
 def test_async_parity_mixed_lengths(backend, capsys):
     req = _mixed_req()
     sync = pipeline.align_batch(req, backend)
@@ -76,7 +77,8 @@ def test_async_parity_mixed_lengths(backend, capsys):
     assert err_async == err_sync
 
 
-@pytest.mark.parametrize("backend", ["scan", "pallas"])
+@pytest.mark.parametrize("backend", [
+    "scan", pytest.param("pallas", marks=pytest.mark.nightly)])
 def test_async_streaming_leaves(backend, capsys):
     """Forced-streaming leaves must stay async (no sync fallback) and stay
     bit-identical, warnings included."""

@@ -109,8 +109,13 @@ OPTSETS = [
 ]
 
 
-# seed 121 triggers the banded tail fix-up overrun (flag=1 path)
-@pytest.mark.parametrize("seed", [11, 22, 33, 121])
+# seed 121 triggers the banded tail fix-up overrun (flag=1 path).
+# Default tier keeps one generic seed + the regression pin; the rest of
+# the campaign is nightly (VERDICT r3 #8: the fuzz campaigns quintupled
+# the suite wall).
+@pytest.mark.parametrize("seed", [
+    11, pytest.param(22, marks=pytest.mark.nightly),
+    pytest.param(33, marks=pytest.mark.nightly), 121])
 def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
     rng = random.Random(seed)
     for k, opts in enumerate(OPTSETS):
@@ -122,7 +127,11 @@ def test_fuzz_byte_parity(ref_binary, tmp_path, seed):
         assert ours_err == ref_err, f"stderr mismatch for {args}"
 
 
-# seeds chosen arbitrarily; each runs 4 optsets x (streaming + packing)
+# seeds chosen arbitrarily; each runs 4 optsets x (streaming + packing).
+# Interpret-mode DP over 2.5-6k-column targets: minutes per seed ->
+# nightly; the kernel-level packed/streaming parity lives in
+# test_pack.py / test_stream_subopt.py on the default tier.
+@pytest.mark.nightly
 @pytest.mark.parametrize("seed", [7, 42])
 def test_fuzz_streaming_packed_byte_parity(ref_binary, tmp_path, seed,
                                            monkeypatch):
@@ -156,7 +165,8 @@ def test_fuzz_streaming_packed_byte_parity(ref_binary, tmp_path, seed,
 AA = "ARNDCQEGHILKMFPSTWYV"
 
 
-@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("seed", [5, pytest.param(
+    17, marks=pytest.mark.nightly)])
 def test_fuzz_protein_byte_parity(ref_binary, tmp_path, seed):
     """Protein mode (-p, BLOSUM50 default): exercises the quirk path (the
     lane-block E restriction is observable for min(mat) < -2*gapE)."""
@@ -211,7 +221,8 @@ def _protein_workload(rng, tmp, tag, tname, qname):
     return t, q
 
 
-@pytest.mark.parametrize("seed", [3, 41])
+@pytest.mark.parametrize("seed", [3, pytest.param(
+    41, marks=pytest.mark.nightly)])
 def test_matrix_file_byte_parity(ref_binary, tmp_path, monkeypatch, seed):
     """-a matrix-file runs against the reference binary (VERDICT round-1
     item 3).  Runs from a controlled cwd with uppercase file names so the

@@ -164,7 +164,8 @@ def _strong_mat(v):
     return mat
 
 
-@pytest.mark.parametrize("quirk", [False, True])
+@pytest.mark.parametrize("quirk", [
+    False, pytest.param(True, marks=pytest.mark.nightly)])
 def test_gate_parity_wide_only(quirk, monkeypatch):
     """max_sub = 5 kills the tight tier (3 + 63 - 80 < 0) but leaves the
     wide one (3 + 127 - 80 = 50 > 0): the kernel instantiates the

@@ -91,6 +91,7 @@ def test_pack_parity(word):
                                       err_msg=n)
 
 
+@pytest.mark.nightly
 def test_pack_parity_mixed_tiers_and_chunks(monkeypatch):
     """Mixed byte/word rows in one packed batch (the speculative-mask
     regime) across multiple row chunks."""
@@ -206,10 +207,13 @@ def test_pack_plan_properties():
         assert sl[row, plan.slot[r]] == ln
 
 
+@pytest.mark.nightly
 def test_pack_pipeline_parity(monkeypatch):
     """Full pipeline with packing on vs off (streaming forced): every
     result field identical, including word-tier rerun reads (score >= 255
-    trips the byte overflow) and suboptimal/begin positions."""
+    trips the byte overflow) and suboptimal/begin positions.  Nightly:
+    ~90 s of interpret-mode pipeline; the default tier keeps the
+    kernel-level pack/dual parity plus the pack plan properties."""
     from ssw_tpu import pipeline
 
     monkeypatch.setenv("SSW_TPU_STREAM_SUBOPT", "1")
@@ -245,6 +249,7 @@ def test_pack_pipeline_parity(monkeypatch):
         assert vars(a) == vars(b), (i, vars(a), vars(b))
 
 
+@pytest.mark.nightly
 def test_pack_pipeline_parity_quirk(monkeypatch):
     """Full pipeline on the QUIRK path (protein-style matrix) with packing
     on vs off: every result field identical, including word-tier rerun
@@ -357,6 +362,7 @@ def test_pack_degenerate_reads():
                                       err_msg=n)
 
 
+@pytest.mark.nightly
 def test_pack_cli_byte_parity(monkeypatch, tmp_path):
     """Whole CLI (SAM + header + warnings) byte-identical with packing on
     vs off on a streaming-scale target — packing must be invisible in

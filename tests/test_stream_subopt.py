@@ -59,7 +59,8 @@ def _dna_mat(match=2, mismatch=2):
     return mat
 
 
-@pytest.mark.parametrize("backend", ["scan", "pallas"])
+@pytest.mark.parametrize("backend", [
+    "scan", pytest.param("pallas", marks=pytest.mark.nightly)])
 def test_random_dna(backend):
     rng = np.random.default_rng(11)
     ref = rng.integers(0, 4, 3000).astype(np.int32)
@@ -70,7 +71,8 @@ def test_random_dna(backend):
     _compare(req, backend)
 
 
-@pytest.mark.parametrize("backend", ["scan", "pallas"])
+@pytest.mark.parametrize("backend", [
+    "scan", pytest.param("pallas", marks=pytest.mark.nightly)])
 def test_tandem_repeats_ties(backend):
     """Tandem repeats put equal column maxima at many distant positions:
     the first-index tie-break and the exclusion-window edges must agree
