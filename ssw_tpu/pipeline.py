@@ -242,17 +242,6 @@ def _prep_device(reads_padded, read_len, mat_ext, col_word, L: int,
     return _prep_core(reads_padded, read_len, mat_ext, col_word, seg_rows, L)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _prep_device_mixed(reads_padded, read_len, mat_ext, col_word,
-                       seg_word_rows, L: int):
-    """_prep_device with per-read seg tiers: the streaming suboptimal
-    scan's window re-runs serve reads at their FINAL tier, which mixes
-    byte and word rows (and, on the quirk path, seg geometries) in one
-    batch."""
-    return _prep_core(reads_padded, read_len, mat_ext, col_word,
-                      seg_word_rows, L)
-
-
 # Lane packing (round 3): pack several reads into one kernel row as
 # contiguous tier-padded slots (common.pack_plan) — 200bp reads in an
 # L=256 bucket waste 22% of the kernel rate on pad lanes (BENCH.md).
@@ -342,50 +331,48 @@ def _forward(profile, ref_codes, geometry, gapO, gapE, quirk, backend,
     return out
 
 
-def _second_best_streaming(blockmax_d, end_ref, mask_len_p, word, ref_len,
-                           ref_ext_dev, reads_padded, read_len, mat_ext,
-                           L, gapO, gapE, quirk, backend, D, Wb, Wb2):
-    """Bounded-memory (score2, ref_end2), bit-identical to
-    scan_sw.second_best_batch on the full per-column maxima (ref:
-    src/ssw.c:358-381): per-block maxima come from the forward kernel;
-    column resolution near the exclusion window and inside the winning
-    block is reconstructed by per-read window re-runs of the DP, exact
-    thanks to the restart margin D (ops/subopt.py).  Two bounded re-runs
-    replace a (B, R) buffer that is multi-GB at chromosome scale."""
-    e = end_ref.astype(np.int32)
-    ml = mask_len_p.astype(np.int32)
-    lo = np.maximum(e - ml, 0)
-    blo = lo // subopt.BM
-    ws = np.maximum(blo * subopt.BM - D, 0).astype(np.int32)
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "ref_len", "gapO", "gapE", "quirk", "pallas",
+                     "D", "Wb", "Wb2"))
+def _subopt_stream_core(blockmax_d, er, ml, word_d, reads_i8, rl, mat_ext,
+                        ref_ext, *, L, ref_len, gapO, gapE, quirk, pallas,
+                        D, Wb, Wb2):
+    """The streaming suboptimal chain as ONE compiled program.
 
-    # per-read FINAL-tier geometry: mixed byte/word rows (and mixed seg
-    # geometries on the quirk path) in one batch
-    word_d = jnp.asarray(word)
-    prof_s, cm_s, seg_s, ss_s = _prep_device_mixed(
-        reads_padded.astype(np.int8), read_len, mat_ext, word_d, word_d, L)
-    if backend == "pallas":
+    Eagerly, this chain was ~50 device dispatches per leaf (the per-read
+    window kernel loops over OPT_LANES-sized batch chunks — 8 chunks x 2
+    re-runs of pallas_call + gathers, each re-traced per call), and on the
+    high-latency axon link the dispatch overhead (~1.5-3 s per 2048-read
+    leaf) dwarfed the device work (~10 ms).  Jitting the whole chain
+    collapses it into one dispatch; the math is unchanged."""
+    if pallas:
         from ssw_tpu.ops import pallas_sw
         rev_fn = pallas_sw.forward_perread_ref
     else:
         rev_fn = scan_sw.forward_perread_ref
-    rl_d = jnp.asarray(read_len)
+    er32 = er.astype(jnp.int32)
+    ml32 = ml.astype(jnp.int32)
+    lo = jnp.maximum(er32 - ml32, 0)
+    blo = lo // subopt.BM
+    ws = jnp.maximum(blo * subopt.BM - D, 0).astype(jnp.int32)
 
-    refw = subopt.gather_windows(ref_ext_dev, jnp.asarray(ws), Wb)
-    mc_win = rev_fn(prof_s, refw, rl_d, cm_s, seg_s, ss_s, gapO, gapE,
+    # per-read FINAL-tier geometry: mixed byte/word rows (and mixed seg
+    # geometries on the quirk path) in one batch
+    prof_s, cm_s, seg_s, ss_s = _prep_core(reads_i8, rl, mat_ext, word_d,
+                                           word_d, L)
+
+    refw = subopt.gather_windows(ref_ext, ws, Wb)
+    mc_win = rev_fn(prof_s, refw, rl, cm_s, seg_s, ss_s, gapO, gapE,
                     quirk, emit_maxcol=True)[3]
     s2, hasA, hasP, hasB, firstP_i, bstar = subopt.compose_window(
-        blockmax_d, mc_win, jnp.asarray(ws), jnp.asarray(e),
-        jnp.asarray(ml), word_d, ref_len)
+        blockmax_d, mc_win, ws, er32, ml32, word_d, ref_len)
 
     # resolve the first-attaining column of block-region winners with a
-    # second bounded re-run (run unconditionally: static shapes, tiny).
-    # Everything stays ON DEVICE — round 4 removed the mid-composition
-    # download that made the device queue drain while the host computed
-    # ws2 (one stacked transfer at the end instead of two syncs; the
-    # second re-run pipelines right behind the first in the queue).
+    # second bounded re-run (run unconditionally: static shapes, tiny)
     ws2 = jnp.maximum(bstar * subopt.BM - D, 0).astype(jnp.int32)
-    refw2 = subopt.gather_windows(ref_ext_dev, ws2, Wb2)
-    mc2 = rev_fn(prof_s, refw2, rl_d, cm_s, seg_s, ss_s, gapO, gapE,
+    refw2 = subopt.gather_windows(ref_ext, ws2, Wb2)
+    mc2 = rev_fn(prof_s, refw2, rl, cm_s, seg_s, ss_s, gapO, gapE,
                  quirk, emit_maxcol=True)[3]
     fc = subopt.resolve_block(mc2, ws2, bstar, s2, ref_len)
 
@@ -396,7 +383,27 @@ def _second_best_streaming(blockmax_d, end_ref, mask_len_p, word, ref_len,
                          jnp.where(hasP, firstP_i,
                                    jnp.where(hasB, fc, 0)))
     ref_end2 = jnp.where(s2 > 0, ref_end2, 0)
-    packed = np.asarray(jnp.stack([s2, ref_end2]))
+    return jnp.stack([s2, ref_end2])
+
+
+def _second_best_streaming(blockmax_d, end_ref, mask_len_p, word, ref_len,
+                           ref_ext_dev, reads_padded, read_len, mat_ext,
+                           L, gapO, gapE, quirk, backend, D, Wb, Wb2):
+    """Bounded-memory (score2, ref_end2), bit-identical to
+    scan_sw.second_best_batch on the full per-column maxima (ref:
+    src/ssw.c:358-381): per-block maxima come from the forward kernel;
+    column resolution near the exclusion window and inside the winning
+    block is reconstructed by per-read window re-runs of the DP, exact
+    thanks to the restart margin D (ops/subopt.py).  Two bounded re-runs
+    replace a (B, R) buffer that is multi-GB at chromosome scale."""
+    stacked = _subopt_stream_core(
+        blockmax_d, jnp.asarray(end_ref.astype(np.int32)),
+        jnp.asarray(mask_len_p.astype(np.int32)), jnp.asarray(word),
+        jnp.asarray(reads_padded.astype(np.int8)), jnp.asarray(read_len),
+        jnp.asarray(mat_ext), ref_ext_dev,
+        L=L, ref_len=ref_len, gapO=gapO, gapE=gapE, quirk=quirk,
+        pallas=(backend == "pallas"), D=D, Wb=Wb, Wb2=Wb2)
+    packed = np.asarray(stacked)
     return packed[0].astype(np.int32), packed[1].astype(np.int32)
 
 
@@ -844,8 +851,10 @@ def _leaf_mid(st: _LeafState):
 
     # suboptimal scores (tier-aware window edges; padded shapes for compile
     # stability, sliced to B below)
+    reads_i8_dev = None  # one upload shared by the suboptimal + reverse chains
     with _phase("suboptimal"):
         if st.streaming:
+            reads_i8_dev = jnp.asarray(st.reads_padded.astype(np.int8))
             bm_d = st.mc_d  # (Bp, nblk) int32, on device
             st.mc_d = None
             if st.dual:
@@ -861,7 +870,7 @@ def _leaf_mid(st: _LeafState):
                 bm_d = bm_d.at[jnp.asarray(idx)].set(mc_r[:k])
             score2, ref_end2 = _second_best_streaming(
                 bm_d, end_ref, st.mask_len_p, word, ref_len,
-                st.ref_ext_dev, st.reads_padded, st.read_len, st.mat_ext,
+                st.ref_ext_dev, reads_i8_dev, st.read_len, st.mat_ext,
                 st.L, req.gapO, req.gapE, st.quirk, st.backend, st.D,
                 st.Wb, st.Wb2)
         elif word_sub is not None:
@@ -887,8 +896,11 @@ def _leaf_mid(st: _LeafState):
                 "ssw_init, otherwise the alignment results will be "
                 "incorrect.\n")
     st.null_mask = null_mask
-    st.fin = _finish_launch(req, st.score, st.end_ref, st.end_read,
-                            st.word, null_mask, st.mat_ext, st.backend)
+    st.fin = _finish_launch(
+        req, st.score, st.end_ref, st.end_read, st.word, null_mask,
+        st.mat_ext, st.backend,
+        ref_dev=st.ref_ext_dev if st.streaming else st.ref_codes,
+        reads_dev=reads_i8_dev)
     return st
 
 
@@ -909,7 +921,8 @@ def _finish_batch(req: BatchRequest, score, end_ref, end_read, score2,
 
 
 def _finish_launch(req: BatchRequest, score, end_ref, end_read, word,
-                   null_mask, mat_ext, backend):
+                   null_mask, mat_ext, backend, ref_dev=None,
+                   reads_dev=None):
     """Filter/flag gating + queue the per-tier begin-finding reverse
     passes (device); no downloads."""
     B = len(req.reads)
@@ -940,7 +953,8 @@ def _finish_launch(req: BatchRequest, score, end_ref, end_read, word,
                         req.gapO, req.gapE)
         with _phase("reverse"):
             handle = _reverse_launch(req, idx, end_ref, end_read, score, W,
-                                     mat_ext, tier, backend)
+                                     mat_ext, tier, backend, ref_dev,
+                                     reads_dev)
         rev.append((idx, handle))
     return aligned, want_begin, want_cigar, rev
 
@@ -1157,12 +1171,58 @@ def pipeline_fallback(req: BatchRequest) -> list:
     ]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "W", "n", "gapO", "gapE", "quirk", "tier_word",
+                     "pallas"))
+def _reverse_core(reads_dev, er, ed, score1, ref_ext, mat_ext, *, L, W, n,
+                  gapO, gapE, quirk, tier_word, pallas):
+    """The begin-finding reverse chain as ONE compiled program, with the
+    reversed read prefixes and per-read reversed reference windows built
+    ON DEVICE (rev_reads[k, j] = read[k][ed[k] - j], refw[k, w] =
+    ref[er[k] - w]; out-of-range -> the virtual letter n).  Eagerly this
+    was two host Python loops + ~1 MB of per-leaf uploads + one chunked
+    eager kernel dispatch per OPT_LANES batch chunk; see
+    _subopt_stream_core for why dispatch count dominates on this link."""
+    if pallas:
+        from ssw_tpu.ops import pallas_sw
+        rev_fn = pallas_sw.forward_perread_ref
+    else:
+        rev_fn = scan_sw.forward_perread_ref
+    rl_rev = (ed + 1).astype(jnp.int32)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = ed[:, None] - j
+    rev_reads = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(
+            reads_dev, jnp.clip(src, 0, reads_dev.shape[1] - 1),
+            axis=1).astype(jnp.int8),
+        jnp.int8(n))
+    w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ridx = er[:, None] - w
+    refw = jnp.where(ridx >= 0, ref_ext[jnp.clip(ridx, 0)], n)
+    tiers = jnp.full(rl_rev.shape, tier_word, bool)
+    profile, cm_d, seg_d, ss_d = _prep_core(rev_reads, rl_rev, mat_ext,
+                                            tiers, tiers, L)
+    s, rer, red = rev_fn(profile, refw, rl_rev, cm_d, seg_d, ss_d,
+                         gapO, gapE, quirk,
+                         terminate=score1.astype(jnp.int32))[:3]
+    return jnp.stack([s, rer, red])
+
+
 def _reverse_launch(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
-                    score1, W: int, mat_ext, tier_word: bool, backend):
+                    score1, W: int, mat_ext, tier_word: bool, backend,
+                    ref_dev=None, reads_dev=None):
     """Queue the batched begin-finding pass over reversed prefixes (static
     window W) with the reference's terminate-at-score1 column-loop break
     (ref: src/ssw.c:918-930).  Returns a device handle; complete with
-    _reverse_complete."""
+    _reverse_complete.
+
+    ref_dev / reads_dev are optional device-resident copies of the padded
+    target / padded reads shared with the leaf's other stages (one upload
+    serves all); without them the target comes from the _device_ref cache
+    and the subset's reads upload here (truncated to L: the reverse pass
+    only reads codes up to end_read)."""
     n = req.mat.shape[0]
     Bs = len(idx)
     idx_p = idx
@@ -1173,31 +1233,26 @@ def _reverse_launch(req: BatchRequest, idx: np.ndarray, end_ref, end_read,
     rl_rev = (end_read[idx_p] + 1).astype(np.int32)
     L = common.bucket_size(
         int(common.pad_total(int(rl_rev.max()), word=tier_word)), 64)
-    rev_reads = np.full((Bp, L), n, dtype=np.int8)
-    for k, b in enumerate(idx_p):
-        rev_reads[k, : rl_rev[k]] = req.reads[b][end_read[b]::-1]
-    # per-read reversed reference windows; out-of-range -> virtual letter
-    refw = np.full((Bp, W), n, dtype=np.int8)
-    ref_arr = np.asarray(req.ref, dtype=np.int32)
-    for k, b in enumerate(idx_p):
-        e = int(end_ref[b])
-        m = min(W, e + 1)
-        refw[k, :m] = ref_arr[e::-1][:m]
-    profile, cm_d, seg_d, ss_d = _prep_device(
-        rev_reads, rl_rev, common.extend_matrix(req.mat),
-        np.full(Bp, tier_word), L, tier_word)
-    if backend == "pallas":
-        from ssw_tpu.ops import pallas_sw
-        rev_fn = pallas_sw.forward_perread_ref
+    if ref_dev is None:
+        ref_dev = _device_ref(req.ref, n,
+                              common.bucket_size(len(req.ref), 256))
+    if reads_dev is not None and reads_dev.shape[1] >= L:
+        sub_reads = reads_dev[jnp.asarray(idx_p), :L]
     else:
-        rev_fn = scan_sw.forward_perread_ref
-    s, er, ed = rev_fn(
-        profile, jnp.asarray(refw), jnp.asarray(rl_rev),
-        cm_d, seg_d, ss_d, req.gapO, req.gapE,
-        needs_quirk(req.mat, req.gapE),
-        terminate=jnp.asarray(score1[idx_p], dtype=jnp.int32))
-    return (jnp.stack([jnp.asarray(s), jnp.asarray(er), jnp.asarray(ed)]),
-            Bs)
+        reads_sub = np.full((Bp, L), n, dtype=np.int8)
+        for k, b in enumerate(idx_p):
+            rd = req.reads[b][:L]
+            reads_sub[k, : len(rd)] = rd
+        sub_reads = jnp.asarray(reads_sub)
+    stacked = _reverse_core(
+        sub_reads, jnp.asarray(end_ref[idx_p].astype(np.int32)),
+        jnp.asarray(end_read[idx_p].astype(np.int32)),
+        jnp.asarray(score1[idx_p].astype(np.int32)),
+        ref_dev, jnp.asarray(common.extend_matrix(req.mat)),
+        L=L, W=W, n=n, gapO=req.gapO, gapE=req.gapE,
+        quirk=needs_quirk(req.mat, req.gapE), tier_word=tier_word,
+        pallas=(backend == "pallas"))
+    return (stacked, Bs)
 
 
 def _reverse_complete(handle, idx, end_ref, end_read):
