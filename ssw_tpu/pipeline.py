@@ -173,8 +173,12 @@ def _length_groups(Ls: list[int]) -> list[list[int]]:
     return groups
 
 
-_REF_CACHE: "dict[int, tuple]" = {}  # id -> (np_ref, pad_code, Rp, device)
-_REF_CACHE_CAP = 4  # strong refs: identity keys stay valid while cached
+# (id, pad_code, Rp) -> (np_ref, fp, device).  Keyed per padded length so a
+# leaf that alternates streaming (Rp+Wb) and fallback (Rp) geometry on the
+# same chromosome-scale target keeps both residents instead of evicting and
+# re-uploading ~40 MB over the 1-10 MB/s host link each call (advisor r4).
+_REF_CACHE: "dict[tuple, tuple]" = {}
+_REF_CACHE_CAP = 6  # strong refs: identity keys stay valid while cached
 
 
 def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
@@ -190,18 +194,18 @@ def _device_ref(ref_np: np.ndarray, pad_code: int, Rp: int):
         s = a[:: max(len(a) // 64, 1)]
         return (len(a), a[:8].tobytes(), a[-8:].tobytes(), s.tobytes())
 
-    ent = _REF_CACHE.get(id(ref_np))
+    key = (id(ref_np), pad_code, Rp)
+    ent = _REF_CACHE.get(key)
     if ent is not None:
-        np0, pc0, Rp0, fp0, dev = ent
-        if (np0 is ref_np and pc0 == pad_code and Rp0 == Rp
-                and fp0 == fp(ref_np)):
+        np0, fp0, dev = ent
+        if np0 is ref_np and fp0 == fp(ref_np):
             return dev
     ref_padded = np.full(Rp, pad_code, dtype=np.int32)
     ref_padded[: len(ref_np)] = ref_np
     dev = jnp.asarray(ref_padded)
     while len(_REF_CACHE) >= _REF_CACHE_CAP:
         _REF_CACHE.pop(next(iter(_REF_CACHE)))
-    _REF_CACHE[id(ref_np)] = (ref_np, pad_code, Rp, fp(ref_np), dev)
+    _REF_CACHE[key] = (ref_np, fp(ref_np), dev)
     return dev
 
 

@@ -40,9 +40,10 @@ def main():
         phases = {k: round(v, 3) for k, v in sorted(ctr.seconds.items())}
         print({"rep": it, "wall_s": round(wall, 3),
                "reads_per_s": round(B / wall, 1), "phases": phases,
-               "checksum": (int(sum(a.score1 for a in out)),
-                            int(sum(a.score2 for a in out)),
-                            int(sum(a.ref_end2 for a in out)))}, flush=True)
+               "checksum": (int(sum(a.score1 for a in out if a is not None)),
+                            int(sum(a.score2 for a in out if a is not None)),
+                            int(sum(a.ref_end2 for a in out
+                                    if a is not None)))}, flush=True)
 
 
 if __name__ == "__main__":
