@@ -1,0 +1,160 @@
+"""Execute the bridge wire protocol from a REAL JVM.
+
+The reference proves its Java surface by running a JVM against the native
+kernel (ref: src/ssw/Example.java:10-39 via the JNI shim
+src/sswjni.c:36-60).  Our equivalent process boundary is the JSON-lines
+bridge worker; bindings/java/ssw/Aligner.java is the client.  This image
+has no Java *compiler* (hunt documented in tests/test_java_binding.py),
+but bazel 7.4.1's embedded Zulu 21 JRE is a fully working JVM — so
+tools/jvm_asm.py assembles a tiny verified class file (SswJvmPipe) that a
+real JVM executes: it spawns the worker with ProcessBuilder, pipes the
+byte-exact request frames ssw.Aligner emits into it, and streams the
+responses back — the exact JVM<->worker boundary of the Java binding
+(process spawn, pipe marshalling, stream lifecycle, exit code), executed
+by HotSpot rather than replayed from Python.
+
+Assertions: the JVM-transited responses are byte-identical to a direct
+(JVM-less) worker run on the same frames, and carry the reference demo
+pair's known result (score1=21, cigar 9M1I5M — ref: src/example.c).
+
+What this still cannot cover on this image: javac itself (the .java
+sources have never been compiled here).  tests/test_java_protocol_replay.py
+pins the client's frame-building and parsing logic; this test pins the
+JVM side of the boundary.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+import test_java_protocol_replay as proto
+from test_java_protocol_replay import (build_align_request,
+                                       convert_to_numeric, flatten, to_json)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BAZEL_REAL = "/usr/local/lib/bazel/bin/bazel-real"
+JVM_CACHE = "/tmp/ssw_tpu_jvm"
+
+
+def _find_java():
+    """A usable `java`: PATH first, else the JRE embedded in bazel-real
+    (a self-extracting zip; the jdk/ subtree is ~66 MB, ~2 s to unzip)."""
+    j = shutil.which("java")
+    if j:
+        return j
+    j = os.path.join(JVM_CACHE, "embedded_tools", "jdk", "bin", "java")
+    if os.path.exists(j):
+        return j
+    if not (os.path.exists(BAZEL_REAL) and shutil.which("unzip")):
+        return None
+    r = subprocess.run(
+        ["unzip", "-q", "-o", BAZEL_REAL, "embedded_tools/jdk/*",
+         "-d", JVM_CACHE], capture_output=True, timeout=120)
+    del r  # unzip exits 1 on the exe prefix warning; trust the file check
+    return j if os.path.exists(j) else None
+
+
+@pytest.fixture(scope="module")
+def java():
+    j = _find_java()
+    if not j:
+        pytest.skip("no JVM on this image (PATH or bazel embedded JRE)")
+    return j
+
+
+@pytest.fixture(scope="module")
+def harness_cls(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import jvm_asm
+    finally:
+        sys.path.pop(0)
+    d = tmp_path_factory.mktemp("jvmcls")
+    (d / "SswJvmPipe.class").write_bytes(jvm_asm.build_pipe_harness())
+    return str(d)
+
+
+def _example_pair_frame(rid=0):
+    """The byte-exact frame ssw.Example's Aligner.align(...) call emits
+    (same construction as test_java_protocol_replay)."""
+    match, mismatch = 2, 2
+    matrix = [[0] * 128 for _ in range(128)]
+    for i in "ACGT":
+        for j in "ACGT":
+            matrix[ord(i)][ord(j)] = match if i == j else -mismatch
+    read = b"CTGAGCCGGTAAATC"
+    ref = b"CAGCCTTTCTGACCCGGAAATCAAAATAGGCACAACAAA"
+    lookup = {256: 0}
+    read_num = convert_to_numeric(lookup, read, True)
+    ref_num = convert_to_numeric(lookup, ref, True)
+    flat = flatten(lookup, matrix)
+    return build_align_request(rid, read_num, flat, lookup[256], 2, ref_num,
+                               3, 1, 0x01, 0, 0, max(15, len(read_num) // 2))
+
+
+def _batch_frame():
+    """Aligner.alignBatch's wire form (three reads, one shared ref)."""
+    reads = [b"\x00\x01\x02\x03\x00\x01\x02\x03",
+             b"\x03\x02\x01\x00" * 5,
+             b"\x00\x00\x00\x00\x00\x00"]
+    ref = bytes([0, 1, 2, 3] * 12)
+    flat = bytes((2 if i == j else 256 - 2) for i in range(4)
+                 for j in range(4))
+    items = []
+    for rd in reads:
+        ml = max(15, len(rd) // 2)
+        items.append(
+            '{"read":%s,"ref":%s,"matrix":%s,"n":4,"score_size":2,'
+            '"gap_open":3,"gap_extend":1,"flag":15,"filter_score":0,'
+            '"filter_distance":0,"mask_len":%d}'
+            % (to_json(rd), to_json(ref), to_json(flat), ml))
+    return '{"id":1,"batch":[' + ",".join(items) + "]}\n"
+
+
+def _run_direct(frames: bytes) -> bytes:
+    """Ground truth: the worker fed the same frames without a JVM."""
+    env = dict(os.environ, SSW_TPU_BRIDGE_PLATFORM="cpu")
+    r = subprocess.run([sys.executable, "-m", "ssw_tpu.bridge"],
+                       input=frames, capture_output=True, timeout=600,
+                       cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+def test_jvm_executes_bridge_protocol(java, harness_cls, tmp_path):
+    frames = (_example_pair_frame() + _batch_frame()
+              + '{"op":"shutdown"}\n').encode()
+    ff = tmp_path / "frames.jsonl"
+    ff.write_bytes(frames)
+    env = dict(os.environ, SSW_TPU_BRIDGE_PLATFORM="cpu")
+    r = subprocess.run(
+        [java, "-cp", harness_cls, "SswJvmPipe", str(ff),
+         sys.executable, "-m", "ssw_tpu.bridge"],
+        capture_output=True, timeout=600, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    # byte parity: JVM transit must be transparent
+    assert r.stdout == _run_direct(frames)
+
+    # and the first response is the reference demo pair's known result
+    line = r.stdout.decode().splitlines()[0]
+    aln = proto.parse(line)
+    assert aln["score1"] == 21
+    assert aln["ref_begin1"] == 8 and aln["ref_end1"] == 21
+    assert aln["read_begin1"] == 0 and aln["read_end1"] == 14
+    assert aln["cigar"] == "9M1I5M"
+
+
+def test_jvm_propagates_worker_exit_code(java, harness_cls, tmp_path):
+    """The harness exits with the worker's code (Example.java's smoke
+    contract: a failing alignment run must fail the JVM process)."""
+    ff = tmp_path / "frames.jsonl"
+    ff.write_bytes(b"")
+    r = subprocess.run(
+        [java, "-cp", harness_cls, "SswJvmPipe", str(ff),
+         sys.executable, "-c", "import sys; sys.exit(7)"],
+        capture_output=True, timeout=120, cwd=REPO)
+    assert r.returncode == 7
