@@ -16,3 +16,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Full-tier runs (-m "") accumulate thousands of in-process XLA CPU
+    compilations (the fuzz campaigns drive cli.main in-process); past
+    ~380 tests the next backend compile segfaults inside XLA's JIT —
+    reproducibly at the same test, while any module subset passes.
+    Dropping executable references at module boundaries keeps the
+    process-wide live-compilation count bounded; within-module caching
+    (where reuse actually happens) is untouched."""
+    yield
+    jax.clear_caches()
