@@ -114,6 +114,19 @@ def _batch_frame():
     return '{"id":1,"batch":[' + ",".join(items) + "]}\n"
 
 
+def _protein_frame(rid=2):
+    """A quirk-path request (BLOSUM-style negative scores): exercises the
+    client's signed-byte JSON encoding (to_json emits negative numbers)
+    through the JVM boundary."""
+    n = 5
+    mat = [[7 if i == j else -3 for j in range(n)] for i in range(n)]
+    flat = bytes((v & 0xFF) for row in mat for v in row)
+    read = bytes([0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0])
+    ref = bytes(([0, 1, 2, 3, 4] * 8)[:37])
+    return build_align_request(rid, read, flat, n, 2, ref, 10, 2, 0x0F,
+                               0, 0, 15)
+
+
 def _run_direct(frames: bytes) -> bytes:
     """Ground truth: the worker fed the same frames without a JVM."""
     env = dict(os.environ, SSW_TPU_BRIDGE_PLATFORM="cpu")
@@ -125,7 +138,8 @@ def _run_direct(frames: bytes) -> bytes:
 
 
 def test_jvm_executes_bridge_protocol(java, harness_cls, tmp_path):
-    frames = (_example_pair_frame() + _batch_frame()
+    frames = (_example_pair_frame() + _batch_frame() + _protein_frame()
+              + "this is not json\n"        # error path: bridge keeps serving
               + '{"op":"shutdown"}\n').encode()
     ff = tmp_path / "frames.jsonl"
     ff.write_bytes(frames)
@@ -140,12 +154,16 @@ def test_jvm_executes_bridge_protocol(java, harness_cls, tmp_path):
     assert r.stdout == _run_direct(frames)
 
     # and the first response is the reference demo pair's known result
-    line = r.stdout.decode().splitlines()[0]
-    aln = proto.parse(line)
+    lines = r.stdout.decode().splitlines()
+    aln = proto.parse(lines[0])
     assert aln["score1"] == 21
     assert aln["ref_begin1"] == 8 and aln["ref_end1"] == 21
     assert aln["read_begin1"] == 0 and aln["read_end1"] == 14
     assert aln["cigar"] == "9M1I5M"
+    # protein/quirk frame: 16-residue exact repeat of the periodic ref
+    assert proto.parse(lines[2])["score1"] == 7 * 16
+    # the malformed line got an error response and the worker kept serving
+    assert lines[3] == '{"error":"bad json"}'
 
 
 def test_jvm_propagates_worker_exit_code(java, harness_cls, tmp_path):
