@@ -166,6 +166,47 @@ def test_jvm_executes_bridge_protocol(java, harness_cls, tmp_path):
     assert lines[3] == '{"error":"bad json"}'
 
 
+def test_class_file_structure():
+    """JVM-less structural check of the assembler output (runs even where
+    no JVM can be found): magic, the verifier-relevant version (49 — the
+    last version checked by the inference verifier, needing no
+    StackMapTable), a well-formed constant pool, and the main method."""
+    import struct
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import jvm_asm
+    finally:
+        sys.path.pop(0)
+    data = jvm_asm.build_pipe_harness()
+    magic, minor, major = struct.unpack_from(">IHH", data, 0)
+    assert (magic, minor, major) == (0xCAFEBABE, 0, 49)
+    (count,) = struct.unpack_from(">H", data, 8)
+    pos, utf8s = 10, []
+    for _ in range(count - 1):
+        tag = data[pos]
+        if tag == jvm_asm.CONSTANT_Utf8:
+            (ln,) = struct.unpack_from(">H", data, pos + 1)
+            utf8s.append(data[pos + 3:pos + 3 + ln].decode())
+            pos += 3 + ln
+        elif tag == jvm_asm.CONSTANT_Class:
+            pos += 3
+        else:  # Fieldref / Methodref / NameAndType
+            assert tag in (jvm_asm.CONSTANT_Fieldref,
+                           jvm_asm.CONSTANT_Methodref,
+                           jvm_asm.CONSTANT_NameAndType)
+            pos += 5
+    access, this_i, super_i, n_if = struct.unpack_from(">HHHH", data, pos)
+    assert access == 0x0021 and n_if == 0
+    assert {"SswJvmPipe", "java/lang/Object", "main",
+            "([Ljava/lang/String;)V", "Code",
+            "java/lang/ProcessBuilder"} <= set(utf8s)
+    # the class parses to its exact end: 0 fields, 1 method, 0 class attrs
+    n_fields, n_methods = struct.unpack_from(">HH", data, pos + 8)
+    assert (n_fields, n_methods) == (0, 1)
+    assert data.endswith(struct.pack(">H", 0))
+
+
 def test_jvm_propagates_worker_exit_code(java, harness_cls, tmp_path):
     """The harness exits with the worker's code (Example.java's smoke
     contract: a failing alignment run must fail the JVM process)."""
